@@ -1,0 +1,76 @@
+"""Device GLV decomposition + signed-digit recoding vs oracle invariants."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msm_zprize_tpu.curves.params import BLS12_377, BLS12_381, PALLAS
+from msm_zprize_tpu.fields import limbs as L
+from msm_zprize_tpu.fields.scalar import SimpleScalar, make_glv_scalar, signed_digits
+
+CURVES = {c.label: c for c in (BLS12_377, BLS12_381, PALLAS)}
+
+
+@pytest.fixture(params=list(CURVES), ids=list(CURVES))
+def curve(request):
+    return CURVES[request.param]
+
+
+def test_glv_decompose(curve, rng):
+    q, lam = curve.order, curve.lambda_
+    S = make_glv_scalar(q, lam)
+    B = 64
+    scalars = [rng.randrange(q) for _ in range(B)]
+    scalars[:4] = [0, 1, q - 1, q // 2]
+    s = jnp.asarray(S.pack(scalars))
+    sg0, u0, sg1, u1 = jax.jit(S.decompose)(s)
+    a0, a1 = S.unpack_half(u0), S.unpack_half(u1)
+    for i in range(B):
+        lhs = (-a0[i] if int(sg0[i]) else a0[i]) + lam * (-a1[i] if int(sg1[i]) else a1[i])
+        assert (lhs - scalars[i]) % q == 0
+        assert a0[i].bit_length() <= S.max_bits
+        assert a1[i].bit_length() <= S.max_bits
+
+
+@pytest.mark.parametrize("c", [4, 12, 13, 16])
+def test_signed_digits_roundtrip(curve, rng, c):
+    S = SimpleScalar(curve.order)
+    B = 32
+    scalars = [rng.randrange(curve.order) for _ in range(B)]
+    scalars[:2] = [0, curve.order - 1]
+    u = jnp.asarray(S.pack(scalars))
+    K = -(-(S.bits + 1) // c)
+    mags, signs = jax.jit(lambda x: signed_digits(x, c, K, S.w))(u)
+    mags, signs = mags.tolist(), signs.tolist()
+    for i in range(B):
+        v = sum(
+            ((-mags[k][i] if signs[k][i] else mags[k][i]) << (k * c)) for k in range(K)
+        )
+        assert v == scalars[i]
+        assert all(0 <= mags[k][i] <= 1 << (c - 1) for k in range(K))
+
+
+def test_signed_digits_scalar_sign(curve, rng):
+    """Global sign flag flips the represented value."""
+    S = SimpleScalar(curve.order)
+    scalars = [rng.randrange(1, curve.order) for _ in range(8)]
+    u = jnp.asarray(S.pack(scalars))
+    c, K = 13, -(-(S.bits + 1) // 13)
+    flag = jnp.ones(8, dtype=jnp.int32)
+    mags, signs = signed_digits(u, c, K, S.w, scalar_sign=flag)
+    mags, signs = mags.tolist(), signs.tolist()
+    for i in range(8):
+        v = sum(
+            ((-mags[k][i] if signs[k][i] else mags[k][i]) << (k * c)) for k in range(K)
+        )
+        assert v == -scalars[i]
+
+
+def test_extract_bits(rng):
+    scheme = L.LimbScheme(12, 22)
+    vals = [rng.getrandbits(253) for _ in range(16)]
+    arr = jnp.asarray(L.pack(vals, scheme))
+    for offset, count in [(0, 13), (5, 13), (11, 16), (120, 25), (250, 13)]:
+        got = L.extract_bits(arr, offset, count, 12).tolist()
+        want = [(v >> offset) & ((1 << count) - 1) for v in vals]
+        assert got == want, (offset, count)

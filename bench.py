@@ -1,0 +1,92 @@
+"""Benchmark driver: BLS12-377 Pippenger MSM on one TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+
+Baseline: the reference WASM implementation's published 2^16-point BLS12-377
+MSM at 122 ms on a 16-thread laptop (`BASELINE.md`, doc/zprize23.md:119-124).
+Methodology mirrors the reference harness (`scripts/msm-weierstrass.ts:20-48`):
+warmup runs, then median of timed runs, fixed points, fresh scalars per run.
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from msm_zprize_tpu.curves.params import BLS12_377
+from msm_zprize_tpu.parallel.api import Weierstrass
+
+BASELINE_MS = 122.0  # reference: BLS12-377 2^16 multi-threaded WASM
+LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+N = 1 << LOG_N
+WARMUP = 2
+RUNS = 5
+
+
+def main():
+    dev = jax.devices()[0]
+    curve = Weierstrass.create(BLS12_377)
+
+    t0 = time.time()
+    points = curve.random_points_fast(N, seed=1)
+    jax.block_until_ready(points)
+    sys.stderr.write(f"[bench] random points ({N}): {time.time() - t0:.1f}s\n")
+
+    def run(seed):
+        scalars = curve.random_scalars(N, seed=seed)
+        t0 = time.time()
+        res = curve.msm_unsafe(scalars, points)
+        jax.block_until_ready(res)
+        return time.time() - t0, res
+
+    t0 = time.time()
+    run(0)  # compile
+    sys.stderr.write(f"[bench] first run (compile): {time.time() - t0:.1f}s\n")
+    for i in range(WARMUP):
+        run(i + 1)
+    times = []
+    for i in range(RUNS):
+        dt, res = run(100 + i)
+        times.append(dt * 1e3)
+        sys.stderr.write(f"[bench] run {i}: {dt * 1e3:.1f} ms\n")
+
+    # correctness spot check at small N against the bigint oracle
+    import random as _r
+
+    from msm_zprize_tpu.bigint.msm import msm as msm_oracle
+
+    rng = _r.Random(7)
+    A, C = curve.oracle_affine, curve.oracle_projective
+    pts_s = [A.random(rng) for _ in range(8)]
+    scs_s = [rng.randrange(BLS12_377.order) for _ in range(8)]
+    got = curve.msm_bigint(scs_s, pts_s)
+    want = C.to_affine(msm_oracle(C, scs_s, [C.from_affine(p) for p in pts_s], 253))
+    assert got == want, "MSM correctness check FAILED"
+    sys.stderr.write("[bench] correctness check vs oracle: OK\n")
+
+    med = statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"bls12-377 msm 2^{LOG_N} latency ({dev.device_kind})",
+                "value": round(med, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / med, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

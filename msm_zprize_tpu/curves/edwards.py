@@ -1,0 +1,152 @@
+"""Vectorized twisted-Edwards curve ops (a = -1), extended coordinates.
+
+TPU-native re-design of `src/curve-twisted-edwards.ts:25-570`: the
+strongly-unified add-2008-hwcd-3 formula is completely branchless — ideal
+for SIMD lanes — so no masks are needed anywhere (identity = (0,1,1,0)
+flows through the same code path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint.edwards import EdwardsParams
+from ..fields.fp import MontgomeryFp, make_field
+from ..fields.limbs import DTYPE
+
+__all__ = ["ExtPoints", "EdwardsOps"]
+
+
+class ExtPoints(NamedTuple):
+    """Extended coordinates (X, Y, Z, T), each (n, B); x=X/Z, y=Y/Z, T=XY/Z."""
+
+    X: jnp.ndarray
+    Y: jnp.ndarray
+    Z: jnp.ndarray
+    T: jnp.ndarray
+
+
+class EdwardsOps:
+    def __init__(self, params: EdwardsParams, w: int = 12):
+        self.params = params
+        self.F: MontgomeryFp = make_field(params.modulus, w)
+        F = self.F
+        self.k_mont = 2 * params.d * F.R % params.modulus  # k = 2d
+
+    def _const(self, mont_value: int, ref):
+        c = np.array(self.F.scheme.to_limbs(mont_value), dtype=np.int32)
+        c = jnp.asarray(c.reshape((self.F.n,) + (1,) * (ref.ndim - 1)))
+        return jnp.broadcast_to(c, ref.shape).astype(DTYPE)
+
+    def zeros(self, B: int) -> ExtPoints:
+        F = self.F
+        return ExtPoints(F.zeros(B), F.ones_mont(B), F.ones_mont(B), F.zeros(B))
+
+    def pack(self, points) -> ExtPoints:
+        """Oracle extended tuples (X, Y, Z, T) -> batch."""
+        F = self.F
+        return ExtPoints(*(jnp.asarray(F.pack([P[i] for P in points])) for i in range(4)))
+
+    def unpack(self, pts: ExtPoints):
+        F = self.F
+        return list(
+            zip(F.unpack(pts.X), F.unpack(pts.Y), F.unpack(pts.Z), F.unpack(pts.T))
+        )
+
+    def neg(self, P: ExtPoints) -> ExtPoints:
+        F = self.F
+        return ExtPoints(F.neg(P.X), P.Y, P.Z, F.neg(P.T))
+
+    def cneg(self, P: ExtPoints, flag) -> ExtPoints:
+        F = self.F
+        return ExtPoints(F.cneg(P.X, flag), P.Y, P.Z, F.cneg(P.T, flag))
+
+    def add(self, P: ExtPoints, Q: ExtPoints) -> ExtPoints:
+        """Strongly-unified add-2008-hwcd-3, k = 2d: 8M + 1 const-M, no
+        branches, valid for doubling and identities
+        (`curve-twisted-edwards.ts:84-165`)."""
+        F = self.F
+        A = F.montmul(F.sub_positive(P.Y, P.X), F.sub_positive(Q.Y, Q.X))
+        B_ = F.montmul(F.add(P.Y, P.X), F.add(Q.Y, Q.X))
+        k = self._const(self.k_mont, P.T)
+        C = F.montmul(F.montmul(P.T, k), Q.T)
+        ZZ = F.montmul(P.Z, Q.Z)
+        D = F.add(ZZ, ZZ)
+        E = F.sub(B_, A)
+        Fc = F.sub(D, C)
+        G = F.add(D, C)
+        H = F.add(B_, A)
+        return ExtPoints(
+            F.montmul(E, Fc), F.montmul(G, H), F.montmul(Fc, G), F.montmul(E, H)
+        )
+
+    def add_mixed(self, P: ExtPoints, Q: ExtPoints) -> ExtPoints:
+        """Mixed add assuming Q.Z == 1 (normalized table/base points):
+        saves the Z1*Z2 multiplication (`curve-twisted-edwards.ts` mixed
+        variant)."""
+        F = self.F
+        A = F.montmul(F.sub_positive(P.Y, P.X), F.sub_positive(Q.Y, Q.X))
+        B_ = F.montmul(F.add(P.Y, P.X), F.add(Q.Y, Q.X))
+        k = self._const(self.k_mont, P.T)
+        C = F.montmul(F.montmul(P.T, k), Q.T)
+        D = F.add(P.Z, P.Z)
+        E = F.sub(B_, A)
+        Fc = F.sub(D, C)
+        G = F.add(D, C)
+        H = F.add(B_, A)
+        return ExtPoints(
+            F.montmul(E, Fc), F.montmul(G, H), F.montmul(Fc, G), F.montmul(E, H)
+        )
+
+    def sub(self, P, Q):
+        return self.add(P, self.neg(Q))
+
+    def double(self, P):
+        return self.add(P, P)
+
+    def scale_const(self, k: int, P: ExtPoints) -> ExtPoints:
+        R = None
+        Q = P
+        while k > 0:
+            if k & 1:
+                R = Q if R is None else self.add(R, Q)
+            k >>= 1
+            if k:
+                Q = self.double(Q)
+        if R is None:
+            return self.zeros(P.X.shape[-1])
+        return R
+
+    def is_zero(self, P):
+        F = self.F
+        return F.is_zero(P.X) & F.is_equal(P.Y, P.Z)
+
+    def eq(self, P, Q):
+        F = self.F
+        ex = F.is_equal(F.montmul(P.X, Q.Z), F.montmul(Q.X, P.Z))
+        ey = F.is_equal(F.montmul(P.Y, Q.Z), F.montmul(Q.Y, P.Z))
+        return ex & ey
+
+    def is_on_curve(self, P):
+        """-X^2 + Y^2 == Z^2 + d T^2 and T Z == X Y."""
+        F = self.F
+        d_mont = self.params.d * F.R % F.p
+        d = self._const(d_mont, P.X)
+        lhs = F.sub(F.montsquare(P.Y), F.montsquare(P.X))
+        rhs = F.add(F.montsquare(P.Z), F.montmul(d, F.montsquare(P.T)))
+        return F.is_equal(lhs, rhs) & F.is_equal(
+            F.montmul(P.T, P.Z), F.montmul(P.X, P.Y)
+        )
+
+    def batch_normalize(self, P: ExtPoints) -> ExtPoints:
+        """Scale to Z = 1 with one shared batch inversion
+        (`curve-twisted-edwards.ts:314-339`)."""
+        F = self.F
+        zi = F.batch_inverse(P.Z)
+        one = F.ones_mont(*P.Z.shape[1:])
+        return ExtPoints(
+            F.montmul(P.X, zi), F.montmul(P.Y, zi), one, F.montmul(P.T, zi)
+        )

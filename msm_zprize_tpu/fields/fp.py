@@ -4,21 +4,29 @@ The TPU-native re-design of the reference's runtime-generated WASM field
 kernels (`src/wasm/multiply-montgomery.ts:31-345`, `field-arithmetic.ts`,
 `inverse.ts`, `exp.ts`): instead of one scalar field op per call on a
 pointer into shared memory, every op here is vectorized over an arbitrary
-batch — thousands of field elements per invocation, limbs unrolled at trace
-time (tracing *is* the codegen; constants like the limbs of p, 2p, mu are
-baked into the program exactly like the reference bakes them into WASM).
+batch — thousands of field elements per invocation — and expressed with a
+deliberately tiny HLO footprint:
+
+* limb products = ONE batched int32 convolution (per-batch polynomial
+  multiply via grouped `conv_general_dilated`); constant-operand products
+  use a shared-filter conv
+* carry/borrow propagation = ONE `lax.scan` over the limb axis
+* Montgomery reduction is the non-interleaved 3-multiplication form
+  (T = x*y;  q = -T*p^{-1} mod R;  out = (T + q*p) / R), with the
+  intermediate q column values kept < 2^31 by splitting accumulated columns
+  into w-bit pieces before constant convs.
 
 Representation invariants (mirroring `doc/zprize22.md:195`):
 
 * limbs canonical in [0, 2^w), value unreduced in [0, 2p)
-* ``sub_positive`` may return values in [0, 4p) — safe as multiply input
-  because R > 16p for all supported schemes
+* ``sub_positive`` may return values in [0, 4p) — still a safe multiply
+  input because R > 16p for all supported schemes
 * Montgomery form everywhere: stored x' = x*R mod p, R = 2^(n*w)
 """
 
 from __future__ import annotations
 
-from functools import cached_property, lru_cache
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +36,76 @@ from ..bigint.field import montgomery_params
 from . import limbs as L
 from .limbs import DTYPE, LimbScheme
 
-__all__ = ["MontgomeryFp", "make_field"]
+__all__ = ["MontgomeryFp", "make_field", "set_montmul_impl"]
+
+# montmul implementation: "auto" picks the Pallas kernel on TPU backends and
+# the conv+scan XLA path elsewhere; override via set_montmul_impl or the
+# MSM_TPU_MONTMUL env var ("conv" | "pallas" | "auto").
+import os as _os
+
+_MONTMUL_IMPL = _os.environ.get("MSM_TPU_MONTMUL", "auto")
+
+
+def set_montmul_impl(impl: str):
+    global _MONTMUL_IMPL
+    assert impl in ("auto", "conv", "pallas")
+    _MONTMUL_IMPL = impl
+
+
+def _montmul_impl() -> str:
+    if _MONTMUL_IMPL != "auto":
+        return _MONTMUL_IMPL
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "conv"
+
+
+def _polymul(x, y):
+    """Per-batch polynomial product: (nx, B) x (ny, B) -> (nx+ny-1, B).
+
+    Pad-accumulate formulation: ~2*nx simple HLO ops (multiply + shifted
+    add), no convs/scatters — XLA:CPU compiles grouped convs and scatters
+    pathologically slowly, and on TPU the hot path is the Pallas kernel
+    anyway. Columns bounded by min(nx,ny) * max(x) * max(y).
+    """
+    nx, B = x.shape
+    ny = y.shape[0]
+    cols = nx + ny - 1
+    T = jnp.zeros((cols, B), dtype=DTYPE)
+    for i in range(nx):
+        row = x[i : i + 1] * y  # (ny, B)
+        T = T + jnp.pad(row, ((i, cols - ny - i), (0, 0)))
+    return T
+
+
+def _polymul_const(x, const: np.ndarray):
+    """(nx, B) x constant (m,) -> (nx+m-1, B), same pad-accumulate scheme
+    iterating over the (often sparse) constant limbs."""
+    nx, B = x.shape
+    m = const.shape[0]
+    cols = nx + m - 1
+    T = jnp.zeros((cols, B), dtype=DTYPE)
+    for j in range(m):
+        cj = int(const[j])
+        if cj == 0:
+            continue
+        T = T + jnp.pad(x * cj, ((j, cols - nx - j), (0, 0)))
+    return T
+
+
+def _scan_carry(cols, w: int):
+    """Sequential carry/borrow propagation as ONE lax.scan.
+
+    cols: (m, *batch) int32 (may be signed). Returns (digits, final_carry):
+    digits canonical in [0, 2^w), carry the signed overflow past the top.
+    """
+    mask = (1 << w) - 1
+
+    def body(c, col):
+        t = col + c
+        return t >> w, t & mask
+
+    init = jnp.zeros(cols.shape[1:], dtype=DTYPE)
+    carry, digits = jax.lax.scan(body, init, cols)
+    return digits, carry
 
 
 class MontgomeryFp:
@@ -36,27 +113,35 @@ class MontgomeryFp:
 
     def __init__(self, p: int, w: int = 12, min_extra_bits: int = 4):
         mp = montgomery_params(p, w, min_extra_bits)
-        # int32 column accumulators must hold 2n products of w-bit limbs
         assert 2 * mp.n * (1 << (2 * w)) < (1 << 31), "column accumulator overflow"
-        # sub_positive outputs in [0,4p): montmul stays below 2p iff R > 16p
         assert mp.R > 16 * p, "need R > 16p for unreduced-input closure"
         self.p = p
         self.w = w
         self.n = mp.n
         self.mask = mp.mask
-        self.mu = mp.p_inv_neg  # -p^-1 mod 2^w
         self.R = mp.R
         self.scheme = LimbScheme(w, mp.n)
-        # per-limb constants (python ints; turned into traced constants on use)
-        self.p_limbs = tuple(mp.limbs_p)
-        self.two_p_limbs = tuple(mp.limbs_2p)
-        self.mont_one = mp.R_mod_p  # R mod p == to_montgomery(1)
+        self.p_limbs = np.array(mp.limbs_p, dtype=np.int32)
+        self.two_p_limbs = np.array(mp.limbs_2p, dtype=np.int32)
+        # -p^-1 mod R, canonical limbs (for the 3-mul Montgomery reduction)
+        pn = (-pow(p, -1, mp.R)) % mp.R
+        self.pn_limbs = np.array(self.scheme.to_limbs(pn), dtype=np.int32)
+        self.mont_one = mp.R_mod_p
         self.R2 = mp.R2
 
-    # ---- constants ------------------------------------------------------
+    # ---- shape plumbing --------------------------------------------------
+
+    def _flatten(self, *arrays):
+        """Common-batch broadcast + flatten to (n_i, B); returns arrays+shape."""
+        batch = jnp.broadcast_shapes(*(a.shape[1:] for a in arrays))
+        out = []
+        for a in arrays:
+            a = a.reshape(a.shape + (1,) * (len(batch) - (a.ndim - 1)))
+            a = jnp.broadcast_to(a, a.shape[:1] + batch)
+            out.append(a.reshape(a.shape[0], -1))
+        return out, batch
 
     def _col(self, x: int, ref):
-        """(n, 1, ..) constant limb column broadcastable against ref (n, *B)."""
         c = np.array(self.scheme.to_limbs(x), dtype=np.int32)
         return jnp.asarray(c.reshape((self.n,) + (1,) * (ref.ndim - 1)))
 
@@ -64,15 +149,12 @@ class MontgomeryFp:
         return jnp.zeros((self.n,) + tuple(batch), dtype=DTYPE)
 
     def ones_mont(self, *batch):
-        """Montgomery form of 1, broadcast to batch shape."""
         one = self._col(self.mont_one, jnp.zeros((self.n,) + tuple(batch)))
         return jnp.broadcast_to(one, (self.n,) + tuple(batch)).astype(DTYPE)
 
     # ---- I/O ------------------------------------------------------------
 
     def pack(self, values, montgomery: bool = True) -> np.ndarray:
-        """Python ints -> (n, B) limbs (optionally converted to Montgomery
-        form on the host — exact integer math)."""
         if montgomery:
             values = [v * self.R % self.p for v in values]
         return L.pack(values, self.scheme)
@@ -89,138 +171,106 @@ class MontgomeryFp:
     # ---- add / sub / reduce ---------------------------------------------
     # cf. src/wasm/field-arithmetic.ts:29-176
 
-    def _carry(self, limbs_list):
-        """Full sequential carry chain; list of per-limb (B,) -> same."""
-        mask, w = self.mask, self.w
-        out = []
-        carry = None
-        for i, t in enumerate(limbs_list):
-            if carry is not None:
-                t = t + carry
-            out.append(t & mask)
-            carry = t >> w
-        return out, carry
-
-    def _sub_const_select(self, s, const_limbs):
-        """Given canonical s (list of n (B,) arrays), compute t = s - const;
-        return select(t >= 0, t, s) stacked. One borrow chain + select."""
-        mask, w = self.mask, self.w
-        t = []
-        borrow = None
-        for i in range(self.n):
-            d = s[i] - const_limbs[i]
-            if borrow is not None:
-                d = d + borrow
-            t.append(d & mask)
-            borrow = d >> w  # 0 or -1
-        keep_s = borrow < 0  # underflow -> keep s
-        out = [jnp.where(keep_s, s[i], t[i]) for i in range(self.n)]
-        return jnp.stack(out, axis=0)
+    def _sub_const_select(self, s, const_limbs: np.ndarray):
+        """select(s - const >= 0, s - const, s): one borrow scan + where."""
+        cl = jnp.asarray(const_limbs).reshape((self.n,) + (1,) * (s.ndim - 1))
+        t, borrow = _scan_carry(s - cl, self.w)
+        return jnp.where(borrow < 0, s, t)
 
     def add(self, x, y):
-        """x + y in [0, 2p): limbwise add, carry, conditional -2p."""
-        s, carry = self._carry([x[i] + y[i] for i in range(self.n)])
-        # carry out of top limb is impossible: x, y < 2p and R > 16p
+        """x + y in [0, 2p): add, carry scan, conditional -2p."""
+        s, _ = _scan_carry(x + y, self.w)
         return self._sub_const_select(s, self.two_p_limbs)
 
     def sub(self, x, y):
-        """x - y in [0, 2p): subtract, on underflow add 2p."""
-        mask, w = self.mask, self.w
-        t = []
-        borrow = None
-        for i in range(self.n):
-            d = x[i] - y[i]
-            if borrow is not None:
-                d = d + borrow
-            t.append(d & mask)
-            borrow = d >> w
-        underflow = borrow < 0
-        # add 2p back where underflowed
-        u = []
-        carry = None
-        for i in range(self.n):
-            a = t[i] + self.two_p_limbs[i]
-            if carry is not None:
-                a = a + carry
-            u.append(a & mask)
-            carry = a >> w
-        out = [jnp.where(underflow, u[i], t[i]) for i in range(self.n)]
-        return jnp.stack(out, axis=0)
+        """x - y in [0, 2p): subtract; on underflow add 2p."""
+        t, borrow = _scan_carry(x - y, self.w)
+        tp = jnp.asarray(self.two_p_limbs).reshape((self.n,) + (1,) * (x.ndim - 1))
+        u, _ = _scan_carry(t + tp, self.w)
+        return jnp.where(borrow < 0, u, t)
 
     def sub_positive(self, x, y):
-        """x - y + 2p, branch-free, result in [0, 4p) — safe multiply input
-        (cf. `field-arithmetic.ts:117` subtractPositive)."""
-        s = [x[i] - y[i] + self.two_p_limbs[i] for i in range(self.n)]
-        out, _ = self._carry(s)
-        return jnp.stack(out, axis=0)
+        """x - y + 2p branch-free, in [0, 4p) (`field-arithmetic.ts:117`)."""
+        tp = jnp.asarray(self.two_p_limbs).reshape((self.n,) + (1,) * (x.ndim - 1))
+        out, _ = _scan_carry(x - y + tp, self.w)
+        return out
 
     def neg(self, x):
-        """2p - x in [0, 2p] (negation of unreduced values)."""
-        s = [self.two_p_limbs[i] - x[i] for i in range(self.n)]
-        out, _ = self._carry(s)
-        return jnp.stack(out, axis=0)
+        """2p - x in [0, 2p]."""
+        tp = jnp.asarray(self.two_p_limbs).reshape((self.n,) + (1,) * (x.ndim - 1))
+        out, _ = _scan_carry(tp - x, self.w)
+        return out
 
     def cneg(self, x, flag):
-        """Conditionally negate: where(flag, -x, x). flag broadcasts over batch."""
         return jnp.where(flag, self.neg(x), x)
 
     def reduce(self, x):
-        """[0, 2p) -> [0, p): one conditional subtract of p
-        (cf. `field-arithmetic.ts:142`)."""
-        s = [x[i] for i in range(self.n)]
-        return self._sub_const_select(s, self.p_limbs)
+        """[0, 2p) -> [0, p): one conditional subtract (`field-arithmetic.ts:142`)."""
+        return self._sub_const_select(x, self.p_limbs)
 
     def fully_reduce(self, x):
-        """[0, 4p) -> [0, p): two conditional subtracts."""
-        s = [x[i] for i in range(self.n)]
-        r = self._sub_const_select(s, self.two_p_limbs)
-        return self._sub_const_select([r[i] for i in range(self.n)], self.p_limbs)
+        """[0, 4p) -> [0, p)."""
+        r = self._sub_const_select(x, self.two_p_limbs)
+        return self._sub_const_select(r, self.p_limbs)
 
     # ---- predicates ------------------------------------------------------
 
     def is_zero(self, x):
-        """x ≡ 0 (mod p) for x in [0, 2p)."""
         r = self.reduce(x)
-        nz = r[0] != 0
-        for i in range(1, self.n):
-            nz = nz | (r[i] != 0)
-        return ~nz
+        return jnp.all(r == 0, axis=0)
 
     def is_equal(self, x, y):
-        """x ≡ y (mod p) for x, y in [0, 2p)."""
-        rx = self.reduce(x)
-        ry = self.reduce(y)
-        eq = rx[0] == ry[0]
-        for i in range(1, self.n):
-            eq = eq & (rx[i] == ry[i])
-        return eq
+        return jnp.all(self.reduce(x) == self.reduce(y), axis=0)
 
     # ---- Montgomery multiply --------------------------------------------
 
-    def montmul(self, x, y):
-        """Montgomery product x*y*R^-1 mod p (in [0,2p) for inputs < 4p).
-
-        Product-scanning with int32 columns; no intra-loop carries needed
-        because columns stay < 2^31 by the scheme invariant — the vectorized
-        analog of the reference's deferred-carry CIOS
-        (`src/wasm/multiply-montgomery.ts:31-137`).
-        """
+    def _montmul_flat(self, x, y):
+        """Core on flat (n, B) canonical inputs (values < 4p)."""
         n, w, mask = self.n, self.w, self.mask
-        batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
-        # phase 1: schoolbook columns of x*y -> C (2n, B)
-        C = jnp.zeros((2 * n,) + batch, dtype=DTYPE)
-        for j in range(n):
-            C = C.at[j : j + n].add(x * y[j])
-        # phase 2: n reduction steps, one column consumed per step
-        p_col = self._col(self.p, C)
-        for i in range(n):
-            qi = (C[i] * self.mu) & mask  # exact low bits despite int32 wrap
-            C = C.at[i : i + n].add(p_col * qi)
-            # column i is now ≡ 0 mod 2^w; push its carry up and retire it
-            C = C.at[i + 1].add(C[i] >> w)
-        # result = columns n..2n-1, final carry chain
-        out, _ = self._carry([C[n + i] for i in range(n)])
-        return jnp.stack(out, axis=0)
+        # T = x * y: columns <= n * 2^24 < 2^29
+        T = _polymul(x, y)  # (2n-1, B)
+        # q = (-p^-1 * T) mod R: split T columns into w-bit pieces so the
+        # constant convs stay < 2^31, truncate at n columns (mod R)
+        t0 = T & mask
+        t1 = (T >> w) & mask
+        t2 = T >> (2 * w)  # < 2^(29-24) = 32
+        q0 = _polymul_const(t0, self.pn_limbs)[:n]
+        q1 = _polymul_const(t1, self.pn_limbs)[: n - 1]
+        q2 = _polymul_const(t2, self.pn_limbs)[: n - 2]
+        zero1 = jnp.zeros((1,) + q0.shape[1:], dtype=DTYPE)
+        zero2 = jnp.zeros((2,) + q0.shape[1:], dtype=DTYPE)
+        qc = (
+            q0
+            + jnp.concatenate([zero1, q1], axis=0)
+            + jnp.concatenate([zero2, q2], axis=0)
+        )  # columns < 3 * 2^29 < 2^31
+        q, _ = _scan_carry(qc, w)  # canonical q in [0, R)
+        # U = q * p; S = T + U == 0 mod R; out = S / R < 2p
+        U = _polymul_const(q, self.p_limbs)  # (2n-1, B)
+        S = T + U  # columns < 2^30
+
+        # single scan: consume low n columns (digits are all 0 — the carry
+        # is the division by R), emit the top digits
+        digits, carry = _scan_carry(S, w)
+        out = jnp.concatenate([digits[n:], carry[None]], axis=0)  # (n, B)
+        return out
+
+    def montmul(self, x, y):
+        """Montgomery product x*y*R^-1 mod p, output in [0, 2p).
+
+        Dispatches to the Pallas TPU kernel on TPU backends (the hot path —
+        VMEM-resident interleaved product scan), or the conv+scan XLA
+        formulation elsewhere (non-interleaved 3-multiplication Montgomery;
+        both are vectorized analogs of the reference's deferred-carry CIOS,
+        `src/wasm/multiply-montgomery.ts:31-137`).
+        """
+        if _montmul_impl() == "pallas":
+            from .pallas_mul import montmul_pallas
+
+            return montmul_pallas(self, x, y)
+        (xf, yf), batch = self._flatten(x, y)
+        out = self._montmul_flat(xf, yf)
+        return out.reshape((self.n,) + batch)
 
     def montsquare(self, x):
         return self.montmul(x, x)
@@ -235,11 +285,8 @@ class MontgomeryFp:
     # ---- exponentiation / inverse ---------------------------------------
 
     def exp_const(self, x, e: int):
-        """x^e for a *static* exponent, in Montgomery form.
-
-        lax.scan over the exponent bits (LSB-first square-and-multiply) keeps
-        the trace at ~2 montmuls (cf. `src/wasm/exp.ts`).
-        """
+        """x^e for a *static* exponent, in Montgomery form; lax.scan over the
+        exponent bits keeps the trace at ~2 montmuls (cf. `src/wasm/exp.ts`)."""
         nbits = max(e.bit_length(), 1)
         bits = jnp.asarray(
             np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
@@ -258,10 +305,10 @@ class MontgomeryFp:
     def inverse(self, x):
         """x^-1 in Montgomery form via Fermat (x^(p-2)); fully vectorized.
 
-        The reference uses Kaliski almost-inverse (`src/wasm/inverse.ts:25`)
-        which is branch-heavy; on TPU a fixed-length exponentiation is the
-        idiomatic constant-shape formulation. inverse(0) returns 0-garbage
-        (no trap) — callers mask, as in the batched kernels.
+        The reference's Kaliski almost-inverse (`src/wasm/inverse.ts:25`) is
+        branch-heavy; a fixed-length exponentiation is the idiomatic
+        constant-shape TPU formulation. inverse(0) returns 0 (harmless
+        garbage) — callers mask, as in the batched kernels.
         """
         return self.exp_const(x, self.p - 2)
 
@@ -279,7 +326,9 @@ class MontgomeryFp:
         """
         n = self.n
         batch = x.shape[1:]
-        assert len(batch) == 1, "batch_inverse expects (n, B)"
+        if len(batch) != 1:
+            flat = x.reshape(n, -1)
+            return self.batch_inverse(flat, cols).reshape(x.shape)
         B = batch[0]
         if B <= 2:
             return self.inverse(x)
@@ -289,7 +338,6 @@ class MontgomeryFp:
         rows = B // cols
         xr = x.reshape(n, rows, cols)
 
-        # 1) prefix products down the rows: P[r] = prod_{r'<=r} x[r']
         def scan_body(carry, xrow):
             prod = self.montmul(carry, xrow)
             return prod, prod
@@ -299,8 +347,8 @@ class MontgomeryFp:
             scan_body, init, jnp.moveaxis(xr, 1, 0)
         )  # prefixes: (rows, n, cols)
 
-        # 2) tree-reduce column totals, storing levels for the unwind
-        levels = []  # each: (n, width) products at that level
+        # tree-reduce column totals, storing levels for the unwind
+        levels = []
         cur = total_per_col
         while cur.shape[-1] > 1:
             width = cur.shape[-1]
@@ -308,35 +356,29 @@ class MontgomeryFp:
             left = cur[:, :half]
             right = cur[:, half : 2 * half]
             merged = self.montmul(left, right)
-            if width % 2:  # odd leftover rides along
+            if width % 2:
                 merged = jnp.concatenate([merged, cur[:, -1:]], axis=1)
                 levels.append((cur, half, True))
             else:
                 levels.append((cur, half, False))
             cur = merged
 
-        # 3) one inversion of the grand total
         inv = self.inverse(cur)  # (n, 1)
 
-        # 4) unwind the tree: inv(left) = inv(parent)*right, etc.
         for cur_level, half, odd in reversed(levels):
             left = cur_level[:, :half]
             right = cur_level[:, half : 2 * half]
+            inv_left = self.montmul(inv[:, :half], right)
+            inv_right = self.montmul(inv[:, :half], left)
             if odd:
-                inv_pair = inv[:, :half+1]
-                inv_left = self.montmul(inv_pair[:, :half], right)
-                inv_right = self.montmul(inv_pair[:, :half], left)
-                inv = jnp.concatenate([inv_left, inv_right, inv[:, half : half + 1]], axis=1)
+                inv = jnp.concatenate(
+                    [inv_left, inv_right, inv[:, half : half + 1]], axis=1
+                )
             else:
-                inv_left = self.montmul(inv[:, :half], right)
-                inv_right = self.montmul(inv[:, :half], left)
                 inv = jnp.concatenate([inv_left, inv_right], axis=1)
-        inv_col_totals = inv  # (n, cols): inverse of each column's total
+        inv_col_totals = inv  # (n, cols)
 
-        # 5) unwind the rows backwards: inv_x[r] = suffix_inv * prefix[r-1]
-        prefixes_shifted = jnp.concatenate(
-            [init[None], prefixes[:-1]], axis=0
-        )  # (rows, n, cols): product of rows < r
+        prefixes_shifted = jnp.concatenate([init[None], prefixes[:-1]], axis=0)
 
         def unwind_body(suffix_inv, args):
             xrow, pref = args

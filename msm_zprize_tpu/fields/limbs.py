@@ -77,6 +77,10 @@ def pack(values, scheme: LimbScheme) -> np.ndarray:
 
 def unpack(arr, scheme: LimbScheme) -> list[int]:
     """(n, B) limb array -> list of B Python ints (limbs must be canonical)."""
+    if hasattr(arr, "devices"):  # device array: fetch in ONE transfer
+        import jax
+
+        arr = jax.device_get(arr)
     arr = np.asarray(arr)
     flat = arr.reshape(scheme.n, -1)
     out = []

@@ -1,0 +1,128 @@
+"""Generic MSM over any complete/unified curve group — msm-basic analog.
+
+Capability parity with `src/msm-basic.ts:45-223`: works for projective
+Weierstrass and twisted-Edwards extended points (anything with a complete
+add), using signed-digit windows WITHOUT GLV. The heavy lifting lives in
+`engine.py`; this module supplies the point-ops adapters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..curves.edwards import EdwardsOps, ExtPoints
+from ..curves.weierstrass import ProjectivePoints, WeierstrassOps
+from ..fields.scalar import SimpleScalar, signed_digits
+from . import engine
+from .common import default_windows, window_size
+
+
+class _ProjAcc(NamedTuple):
+    """acc_ops adapter for projective-Weierstrass accumulators."""
+
+    W: WeierstrassOps
+
+    def zero(self, *batch):
+        F = self.W.F
+        return ProjectivePoints(F.zeros(*batch), F.ones_mont(*batch), F.zeros(*batch))
+
+    def add_point(self, acc, pt, mask):
+        # pt is projective with identity encoded as Z=0; complete add handles it
+        return self.W.proj_add(acc, pt)
+
+    def add(self, a, b):
+        return self.W.proj_add(a, b)
+
+    def double(self, a):
+        return self.W.proj_double(a)
+
+
+class _EdAcc(NamedTuple):
+    E: EdwardsOps
+
+    def zero(self, *batch):
+        F = self.E.F
+        return ExtPoints(
+            F.zeros(*batch), F.ones_mont(*batch), F.ones_mont(*batch), F.zeros(*batch)
+        )
+
+    def add_point(self, acc, pt, mask):
+        return self.E.add(acc, pt)
+
+    def add(self, a, b):
+        return self.E.add(a, b)
+
+    def double(self, a):
+        return self.E.double(a)
+
+
+def msm_basic_projective(
+    W: WeierstrassOps, scalars, points: ProjectivePoints, scalar_bits: int, c: int | None = None
+) -> ProjectivePoints:
+    """MSM over projective Weierstrass points; scalars (n, B) plain limbs."""
+    B = points.X.shape[-1]
+    if c is None:
+        c = window_size("projective", max(B.bit_length() - 1, 1))
+    K = default_windows(scalar_bits, c)
+    L = 1 << (c - 1)
+    mags, signs = signed_digits(scalars, c, K, 12)
+
+    acc = _ProjAcc(W)
+
+    def cneg(P, flag):
+        return ProjectivePoints(P.X, W.F.cneg(P.Y, flag), P.Z)
+
+    def pair_add(P0, P1, has_partner, valid):
+        summed = W.proj_add(P0, P1)
+        return engine._select(has_partner, summed, P0)
+
+    def zero_like(K_, L_):
+        return acc.zero(K_, L_)
+
+    sums, empty = engine.accumulate_buckets(
+        points, mags, signs, L, pair_add, cneg, zero_like
+    )
+    c0 = max((c - 1) // 2, 1)
+    per_window = engine.reduce_buckets(sums, empty, c0, acc)
+    return engine.horner(per_window, c, acc.add, acc.double, None)
+
+
+def accumulate_edwards(
+    E: EdwardsOps, scalars, points: ExtPoints, scalar_bits: int, c: int
+):
+    """Bucket accumulation for twisted Edwards; returns ext-point bucket sums
+    (identity encodes emptiness — unified adds need no mask)."""
+    K = default_windows(scalar_bits, c)
+    L = 1 << (c - 1)
+    mags, signs = signed_digits(scalars, c, K, 12)
+    acc = _EdAcc(E)
+
+    def pair_add(P0, P1, has_partner, valid):
+        summed = E.add(P0, P1)
+        return engine._select(has_partner, summed, P0)
+
+    sums, empty = engine.accumulate_buckets(
+        points, mags, signs, L, pair_add, E.cneg, lambda K_, L_: acc.zero(K_, L_)
+    )
+    return sums, empty
+
+
+def finalize_edwards(E: EdwardsOps, sums, empty, c: int) -> ExtPoints:
+    acc = _EdAcc(E)
+    c0 = max((c - 1) // 2, 1)
+    per_window = engine.reduce_buckets(sums, empty, c0, acc)
+    return engine.horner(per_window, c, acc.add, acc.double, None)
+
+
+def msm_basic_edwards(
+    E: EdwardsOps, scalars, points: ExtPoints, scalar_bits: int, c: int | None = None
+) -> ExtPoints:
+    """MSM over twisted-Edwards extended points (the reference's production
+    path for ed-on-bls12-377, `src/parallel.ts:179-289` msm via msmBasic)."""
+    B = points.X.shape[-1]
+    if c is None:
+        c = window_size("edwards", max(B.bit_length() - 1, 1))
+    sums, empty = accumulate_edwards(E, scalars, points, scalar_bits, c)
+    return finalize_edwards(E, sums, empty, c)

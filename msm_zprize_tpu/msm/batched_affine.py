@@ -1,0 +1,156 @@
+"""Flagship MSM: GLV + signed digits + batched-affine bucket accumulation.
+
+Capability parity with `src/msm-batched-affine.ts:50-588` (the reference's
+ZPrize pipeline, SURVEY.md §3.2), TPU-native:
+
+* GLV decompose doubles the point count at half the window count
+  (prep-1, `:338-409`) — here a batched decompose + endomorphism map.
+* signed digits halve the bucket count (`:177-200`) — `signed_digits`.
+* counting sort (`:444-490`) -> argsort + derived layouts.
+* batchAddNew halving rounds (`:226-270`) -> per-level wide batched-affine
+  adds with ONE shared batch inversion across all windows.
+* reduceBucketsColumnProjective (`:544-571`) -> block triangle/rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..curves.weierstrass import AffinePoints, ProjectivePoints, WeierstrassOps
+from ..fields.scalar import GlvScalar, signed_digits
+from . import engine
+from .common import default_windows, window_size
+
+__all__ = ["msm_batched_affine"]
+
+
+class _AffineAcc(NamedTuple):
+    """Projective accumulators fed by affine bucket points (mixed adds)."""
+
+    W: WeierstrassOps
+
+    def zero(self, *batch):
+        F = self.W.F
+        return ProjectivePoints(F.zeros(*batch), F.ones_mont(*batch), F.zeros(*batch))
+
+    def add_point(self, acc, pt: AffinePoints, mask):
+        return self.W.proj_add_affine(acc, pt)
+
+    def add(self, a, b):
+        return self.W.proj_add(a, b)
+
+    def double(self, a):
+        return self.W.proj_double(a)
+
+
+def accumulate_batched_affine(
+    W: WeierstrassOps,
+    S: GlvScalar,
+    scalars,
+    points: AffinePoints,
+    c: int,
+    safe: bool = True,
+):
+    """Stages prep-1/prep-2/accumulation: returns affine bucket sums
+    (leaves (.., K, L)) plus the empty-bucket mask (K, L)."""
+    K = default_windows(S.max_bits, c)
+    L = 1 << (c - 1)
+
+    # --- prep 1: GLV decompose + endomorphism expansion (2N points) ---
+    sg0, u0, sg1, u1 = S.decompose(scalars)
+    endo = W.endomorphism(points)
+    pts2 = AffinePoints(
+        jnp.concatenate([points.x, endo.x], axis=-1),
+        jnp.concatenate([points.y, endo.y], axis=-1),
+        jnp.concatenate([points.inf, endo.inf], axis=-1),
+    )
+
+    # --- prep 2: signed-digit slicing of both halves ---
+    m0, s0 = signed_digits(u0, c, K, S.w, scalar_sign=sg0)
+    m1, s1 = signed_digits(u1, c, K, S.w, scalar_sign=sg1)
+    mags = jnp.concatenate([m0, m1], axis=-1)  # (K, 2N)
+    signs = jnp.concatenate([s0, s1], axis=-1)
+
+    # points with infinity flag never contribute: zero their digits
+    inf2 = pts2.inf.astype(bool)[None, :]
+    mags = jnp.where(inf2, 0, mags)
+
+    # --- stage 1: batched-affine bucket accumulation ---
+    def cneg(P, flag):
+        return W.affine_cneg(P, flag)
+
+    def pair_add(P0, P1, has_partner, valid):
+        summed = W.batch_add(P0, P1, safe=safe, active=has_partner)
+        return engine._select(has_partner, summed, P0)
+
+    def zero_like(K_, L_):
+        F = W.F
+        return AffinePoints(
+            F.zeros(K_, L_), F.zeros(K_, L_), jnp.ones((K_, L_), dtype=jnp.int32)
+        )
+
+    sums, empty = engine.accumulate_buckets(pts2, mags, signs, L, pair_add, cneg, zero_like)
+    return sums, empty
+
+
+def finalize_affine_buckets(W: WeierstrassOps, sums, empty, c: int) -> ProjectivePoints:
+    """Stages 2+3: bucket reduction (projective accumulators fed by affine
+    buckets via mixed adds) + horner. Returns a (.., 1)-batched projective
+    point."""
+    acc = _AffineAcc(W)
+    c0 = max((c - 1) // 2, 1)
+    per_window = engine.reduce_buckets(sums, empty, c0, acc)
+    return engine.horner(per_window, c, acc.add, acc.double, None)
+
+
+class _ProjAcc(NamedTuple):
+    """Projective accumulators fed by projective bucket points (used on the
+    multi-chip path, where cross-chip combination leaves buckets projective)."""
+
+    W: WeierstrassOps
+
+    def zero(self, *batch):
+        F = self.W.F
+        return ProjectivePoints(F.zeros(*batch), F.ones_mont(*batch), F.zeros(*batch))
+
+    def add_point(self, acc, pt, mask):
+        return self.W.proj_add(acc, pt)
+
+    def add(self, a, b):
+        return self.W.proj_add(a, b)
+
+    def double(self, a):
+        return self.W.proj_double(a)
+
+
+def finalize_projective_buckets(W: WeierstrassOps, sums_proj, c: int) -> ProjectivePoints:
+    """Reduction + horner when bucket sums are already projective (identity
+    encoded as Z=0, so no separate empty mask is needed)."""
+    acc = _ProjAcc(W)
+    c0 = max((c - 1) // 2, 1)
+    K, L = sums_proj.X.shape[-2], sums_proj.X.shape[-1]
+    empty = jnp.zeros((K, L), dtype=bool)  # Z=0 handles emptiness
+    per_window = engine.reduce_buckets(sums_proj, empty, c0, acc)
+    return engine.horner(per_window, c, acc.add, acc.double, None)
+
+
+def msm_batched_affine(
+    W: WeierstrassOps,
+    S: GlvScalar,
+    scalars,
+    points: AffinePoints,
+    c: int | None = None,
+    safe: bool = True,
+) -> ProjectivePoints:
+    """scalars: (n_scalar, N) plain limbs in [0, q); points: affine batch (N).
+
+    Returns the MSM result as a single projective point (batch size 1).
+    safe=False is the msmUnsafe contract: all effective points distinct.
+    """
+    N = points.x.shape[-1]
+    if c is None:
+        c = window_size("batched-affine", max(N.bit_length() - 1, 1))
+    sums, empty = accumulate_batched_affine(W, S, scalars, points, c, safe)
+    return finalize_affine_buckets(W, sums, empty, c)

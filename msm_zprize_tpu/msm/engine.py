@@ -1,0 +1,205 @@
+"""Generic Pippenger engine: bucket accumulation, reduction, Horner.
+
+The structure mirrors the reference's flagship pipeline
+(`src/msm-batched-affine.ts:50-588`, call stack in SURVEY.md §3.2) but every
+phase is re-expressed as static-shaped vector programs:
+
+* counting sort + pointer walks  ->  one argsort per window + layouts derived
+  from bucket counts by cumsum/searchsorted (`common.halving_layout`)
+* batchAdd pair lists at stride m ->  per-level compacted pair arrays, ALL
+  windows concatenated into one batch so each level is a single wide
+  batched-add (one shared inversion per level, not per window)
+* reduceBucketsColumnProjective    ->  block triangle/row suffix sums over a
+  (windows x blocks)-wide lane dimension
+* main-thread horner               ->  lax.scan over windows
+
+The engine is generic over a point-ops adapter so the same code drives
+batched-affine Weierstrass (flagship), projective Weierstrass, and twisted
+Edwards (msm-basic analog, `src/msm-basic.ts:45-223`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import bucket_counts, halving_layout, sort_by_bucket
+
+__all__ = ["accumulate_buckets", "reduce_buckets", "horner", "msm_pipeline"]
+
+
+def _take(pts, idx):
+    return type(pts)(*(jnp.take(a, idx, axis=-1) for a in pts))
+
+
+def _take2(pts, idx):
+    """Gather along the last axis of (.., K, W) leaves with (K, W') indices."""
+    out = []
+    for a in pts:
+        out.append(jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape[:-1] + idx.shape[-1:]), axis=-1))
+    return type(pts)(*out)
+
+
+def _select(mask, a, b):
+    return type(a)(*(jnp.where(mask, fa, fb) for fa, fb in zip(a, b)))
+
+
+def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like):
+    """Accumulate signed points into per-window buckets.
+
+    points:  point pytree with leaves (..., B) — the base points
+    digits:  (K, B) int32 magnitudes in [0, L] (0 = skip)
+    signs:   (K, B) int32 sign flags
+    L:       number of buckets (weights 1..L)
+    pair_add(P0, P1, has_partner, valid) -> point pytree: adds lanes where
+        has_partner&valid, passes P0 through where not
+    cneg(P, flag): conditional negation
+    zero_like(K, L): (K, L)-batched identity points
+
+    Returns bucket sums as a point pytree with leaves (..., K, L) plus an
+    ``empty`` mask (K, L) marking buckets that received no points.
+    """
+    K, B = digits.shape
+    # bucket ids: magnitude-1 in [0, L-1]; zero digits -> sentinel L
+    ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
+    order, sorted_ids = sort_by_bucket(ids)
+    counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L), sentinel dropped
+
+    # initial level: points gathered in sorted order with signs applied
+    sorted_signs = jnp.take_along_axis(signs, order, axis=-1)
+    P = _take(points, order)  # leaves (..., K, B)
+    P = cneg(P, sorted_signs)
+
+    offsets = jnp.cumsum(counts, axis=-1) - counts  # (K, L) exclusive
+    width = B
+    cur_counts = counts
+    # exactly ceil(log2(B)) halving levels guarantee every count reaches <= 1
+    # (width alone can plateau at L+1 while one bucket still holds many)
+    n_levels = max((B - 1).bit_length(), 0)
+    for _level in range(n_levels):
+        next_width = min(width, (width + L) // 2 + 1)
+        bucket, rank, valid, next_counts = halving_layout(cur_counts, next_width)
+        base = jnp.take_along_axis(offsets, bucket, axis=-1)
+        cnt = jnp.take_along_axis(cur_counts, bucket, axis=-1)
+        pos0 = jnp.clip(base + 2 * rank, 0, width - 1)
+        pos1 = jnp.clip(base + 2 * rank + 1, 0, width - 1)
+        has_partner = (2 * rank + 1 < cnt) & valid
+        P0 = _take2(P, pos0)
+        P1 = _take2(P, pos1)
+        P = pair_add(P0, P1, has_partner, valid)
+        cur_counts = next_counts
+        offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
+        width = next_width
+
+    # final: bucket b's sum (count<=1) sits at offsets[:, b]
+    idx = jnp.clip(offsets, 0, width - 1)
+    sums = _take2(P, idx)
+    empty = cur_counts == 0
+    zero = zero_like(K, L)
+    sums = _select(empty, zero, sums)
+    return sums, empty
+
+
+def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):
+    """Per-window weighted bucket reduction S_k = sum_l (l+1) * B[k, l].
+
+    Block decomposition (cf. the reference's fully-affine sub-partition
+    reduction, `msm-batched-affine-single-thread.ts:522-667`): split L = D *
+    2^c0; per block compute triangle T_d = sum_j (j+1) B[d,j] and row
+    R_d = sum_j B[d,j] with one 2^c0-step suffix loop over (K*D)-wide lanes;
+    then S = sum_d T_d + 2^c0 * sum_d d*R_d.
+
+    acc_ops must provide: zero(K, D) accumulators, add_point(acc, bucket_pt,
+    mask) (accumulator + masked bucket point), add(acc, acc), double(acc),
+    and narrow(acc[..., K, D] -> per-window reduce over D is done here via
+    log-tree of add).
+
+    Returns per-window accumulator pytree with leaves (..., K).
+    """
+    leaves = bucket_sums[0]
+    K, L = leaves.shape[-2], leaves.shape[-1]
+    assert L & (L - 1) == 0, "bucket count must be a power of two"
+    block = 1 << c0
+    while L % block != 0:
+        block //= 2
+        c0 -= 1
+    D = L // block  # power of two since L and block are
+    # reshape leaves (..., K, D, block)
+    bs = type(bucket_sums)(*(a.reshape(a.shape[:-1] + (D, block)) for a in bucket_sums))
+    emp = empty.reshape(K, D, block)
+
+    # suffix-sum scan over the block axis (j = block-1 .. 0):
+    #   running += B[.., j]; total += running  => total = sum_j (j+1) B_j
+    pt_type = type(bucket_sums)
+    bs_moved = tuple(jnp.moveaxis(a, -1, 0) for a in bs)  # (block, n?, K, D)
+    emp_moved = jnp.moveaxis(emp, -1, 0)  # (block, K, D)
+
+    def tri_body(carry, xs):
+        running, total = carry
+        bj_leaves, mask = xs
+        bj = pt_type(*bj_leaves)
+        running = acc_ops.add_point(running, bj, ~mask)
+        total = acc_ops.add(total, running)
+        return (running, total), None
+
+    init = (acc_ops.zero(K, D), acc_ops.zero(K, D))
+    (running, total), _ = jax.lax.scan(
+        tri_body, init, (bs_moved, emp_moved), reverse=True
+    )
+    # total[d] = T_d; running[d] = R_d
+
+    # weighted row sums: sum_d d*R_d via suffix scan over d = D-1 .. 1
+    if D > 1:
+        acc_type = type(running)
+        r_moved = tuple(jnp.moveaxis(a[..., 1:], -1, 0) for a in running)
+
+        def row_body(carry, rd_leaves):
+            wr, racc = carry
+            racc = acc_ops.add(racc, acc_type(*rd_leaves))
+            wr = acc_ops.add(wr, racc)
+            return (wr, racc), None
+
+        initw = (acc_ops.zero(K), acc_ops.zero(K))
+        (wr, _), _ = jax.lax.scan(row_body, initw, r_moved, reverse=True)
+        wr = type(wr)(*(a[..., None] for a in wr))  # (.., K, 1)
+    else:
+        wr = acc_ops.zero(K, 1)
+    # sum_d T_d: log-tree over D (power of two)
+    tot = total
+    Dcur = D
+    while Dcur > 1:
+        half = Dcur // 2
+        left = type(tot)(*(a[..., :half] for a in tot))
+        right = type(tot)(*(a[..., half:] for a in tot))
+        tot = acc_ops.add(left, right)
+        Dcur = half
+    # S = tot + 2^c0 * wr
+    for _ in range(c0):
+        wr = acc_ops.double(wr)
+    S = acc_ops.add(tot, wr)  # (..., K, 1)
+    return type(S)(*(a[..., 0] for a in S))
+
+
+def horner(window_sums, c: int, add, double, zero1):
+    """result = sum_k 2^(k*c) * W_k via Horner from the top window.
+
+    window_sums: pytree leaves (..., K); returns leaves (..., 1).
+    """
+    leaves = window_sums[0]
+    K = leaves.shape[-1]
+    acc = type(window_sums)(*(a[..., K - 1 : K] for a in window_sums))
+    if K == 1:
+        return acc
+    ws = type(window_sums)(*(jnp.moveaxis(a[..., : K - 1], -1, 0) for a in window_sums))
+
+    def body(carry, wk):
+        for _ in range(c):
+            carry = double(carry)
+        # restore the explicit trailing batch dim the scan sliced away
+        carry = add(carry, type(window_sums)(*(a[..., None] for a in wk)))
+        return carry, None
+
+    # scan from window K-2 down to 0
+    rev = tuple(a[::-1] for a in ws)
+    acc, _ = jax.lax.scan(body, acc, rev)
+    return acc

@@ -1,0 +1,303 @@
+"""Top-level curve API — the analog of `src/parallel.ts` + `src/concrete/*.ts`.
+
+`Weierstrass.create(params)` / `TwistedEdwards.create(params)` assemble the
+field engine, scalar modules, vectorized curve ops, and MSM pipelines into
+one object with the reference's `Parallel` surface
+(`parallel.ts:135-145, 251-259`): msm / msmUnsafe / msmProjective /
+randomPointsFast / randomScalars / point+scalar I/O. Instead of
+startThreads(n), multi-chip execution is requested per call by passing a
+`jax.sharding.Mesh` (see `parallel.mesh`).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint.edwards import EdwardsCurve, EdwardsParams
+from ..bigint.weierstrass import AffineCurve, ProjectiveCurve, WeierstrassParams
+from ..curves.edwards import EdwardsOps, ExtPoints
+from ..curves.weierstrass import AffinePoints, ProjectivePoints, WeierstrassOps
+from ..fields import limbs as L
+from ..fields.scalar import SimpleScalar, make_glv_scalar
+from ..msm.basic import msm_basic_edwards, msm_basic_projective
+from ..msm.batched_affine import msm_batched_affine
+from . import mesh as mesh_mod
+
+__all__ = ["Weierstrass", "TwistedEdwards"]
+
+
+class Weierstrass:
+    """Full curve module for a short-Weierstrass curve with GLV endomorphism."""
+
+    def __init__(self, params: WeierstrassParams, w: int = 12):
+        self.params = params
+        self.ops = WeierstrassOps(params, w)
+        self.scalar = make_glv_scalar(params.order, params.lambda_, w)
+        self.simple_scalar = SimpleScalar(params.order, w)
+        self.oracle_affine = AffineCurve(params)
+        self.oracle_projective = ProjectiveCurve(params)
+        self.label = params.label
+        self._jit_cache: dict = {}
+
+    _instances: dict = {}
+
+    @classmethod
+    def create(cls, params: WeierstrassParams, w: int = 12) -> "Weierstrass":
+        key = (params.label, w)
+        if key not in cls._instances:
+            cls._instances[key] = cls(params, w)
+        return cls._instances[key]
+
+    # ---- I/O (pointsFromBytes / scalarsFromBytes analogs) ----------------
+
+    def scalars_from_ints(self, scalars) -> jnp.ndarray:
+        return jnp.asarray(self.scalar.pack(scalars))
+
+    def points_from_ints(self, points) -> AffinePoints:
+        """points: list of (x, y) int tuples or None for infinity."""
+        return self.ops.pack_affine(points)
+
+    def result_to_int(self, res: ProjectivePoints):
+        """Projective device result -> affine (x, y) int tuple or None."""
+        [p] = self.ops.unpack_projective(res)
+        return self.oracle_projective.to_affine(p)
+
+    # ---- MSM -------------------------------------------------------------
+
+    def _pad(self, scalars, points: AffinePoints, multiple: int = 1):
+        """Pad N up to a power of two (>= 8, and a multiple of ``multiple``)
+        so compiled shapes are reused across nearby sizes; padding points are
+        infinity with zero scalars (no contribution)."""
+        N = points.x.shape[-1]
+        target = max(8, multiple)
+        while target < N:
+            target *= 2
+        while target % multiple:
+            target *= 2
+        if target == N:
+            return scalars, points
+        pad = target - N
+        scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+        points = AffinePoints(
+            jnp.pad(points.x, ((0, 0), (0, pad))),
+            jnp.pad(points.y, ((0, 0), (0, pad))),
+            jnp.pad(points.inf, (0, pad), constant_values=1),
+        )
+        return scalars, points
+
+    def _jitted_msm(self, c: int | None, safe: bool):
+        key = ("msm", c, safe)
+        if key not in self._jit_cache:
+
+            def fn(s, px, py, pinf):
+                return msm_batched_affine(
+                    self.ops, self.scalar, s, AffinePoints(px, py, pinf), c,
+                    safe=safe,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def msm(self, scalars, points: AffinePoints, c: int | None = None, mesh=None):
+        """Safe MSM (handles duplicate points). scalars (n, N) limb array."""
+        mult = mesh.devices.size if mesh is not None else 1
+        scalars, points = self._pad(scalars, points, mult)
+        if mesh is not None:  # mesh path manages its own (cached) jits
+            return mesh_mod.msm_batched_affine_sharded(
+                self.ops, self.scalar, mesh, scalars, points, c, safe=True
+            )
+        fn = self._jitted_msm(c, True)
+        return fn(scalars, points.x, points.y, points.inf)
+
+    def msm_unsafe(self, scalars, points: AffinePoints, c: int | None = None, mesh=None):
+        """Fast path assuming all effective points distinct
+        (`msmUnsafe`, `msm-batched-affine.ts:74-82`)."""
+        mult = mesh.devices.size if mesh is not None else 1
+        scalars, points = self._pad(scalars, points, mult)
+        if mesh is not None:
+            return mesh_mod.msm_batched_affine_sharded(
+                self.ops, self.scalar, mesh, scalars, points, c, safe=False
+            )
+        fn = self._jitted_msm(c, False)
+        return fn(scalars, points.x, points.y, points.inf)
+
+    def msm_projective(self, scalars, points: ProjectivePoints, c: int | None = None):
+        """Generic-curve MSM on projective inputs (`msmProjective`,
+        `parallel.ts:69-87`): no GLV, no batched-affine — robustness baseline."""
+        return msm_basic_projective(
+            self.ops, scalars, points, self.simple_scalar.bits, c
+        )
+
+    def msm_bigint(self, scalars, points, c: int | None = None):
+        """Convenience: Python ints in, affine int point out (analog of
+        `msmBigint`, `msm-batched-affine-single-thread.ts:143-169`)."""
+        s = self.scalars_from_ints(scalars)
+        p = self.points_from_ints(points)
+        return self.result_to_int(self.msm(s, p, c))
+
+    # ---- random inputs (curve-random.ts analogs) -------------------------
+
+    def random_scalars(self, N: int, seed: int = 0) -> jnp.ndarray:
+        """Uniform scalars in [0, q) via host-side rejection sampling on a
+        seeded PRNG (`createRandomScalars`, `curve-random.ts:151-194`)."""
+        import random as _random
+
+        rng = _random.Random(seed)
+        q = self.params.order
+        return jnp.asarray(self.scalar.pack([rng.randrange(q) for _ in range(N)]))
+
+    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> AffinePoints:
+        """Fast non-hiding random points (`createRandomPointsFast`,
+        `curve-random.ts:14-92`): K = ceil(entropy/c) random base points, a
+        2^c-entry multiple table per base built by table-doubling, each
+        output point a sum of one entry per table, batch-normalized."""
+        import random as _random
+
+        rng = _random.Random(seed ^ 0x9E3779B9)
+        K = -(-entropy_bits // c)
+        Lt = 1 << c
+        bases = [self.oracle_affine.random(rng) for _ in range(K)]
+        key = jax.random.PRNGKey(seed)
+        idx = jax.random.randint(key, (K, N), 0, Lt)
+
+        W = self.ops
+        acc = None
+        for k in range(K):
+            # table of multiples 0..Lt-1 of base k (projective), built by
+            # doubling the table size log2(Lt) times
+            table = W.from_affine(W.pack_affine([None, bases[k]]))
+            step = W.from_affine(W.pack_affine([bases[k]]))
+            size = 2
+            while size < Lt:
+                # shift = size * base  (scale by constant)
+                shift = W.proj_scale_const(size, step)
+                shifted = W.proj_add(
+                    table,
+                    ProjectivePoints(
+                        *(jnp.broadcast_to(a, t.shape) for a, t in zip(shift, table))
+                    ),
+                )
+                table = ProjectivePoints(
+                    *(jnp.concatenate([t, s], axis=-1) for t, s in zip(table, shifted))
+                )
+                size *= 2
+            picked = ProjectivePoints(*(jnp.take(a, idx[k], axis=-1) for a in table))
+            acc = picked if acc is None else W.proj_add(acc, picked)
+        return W.to_affine(acc)
+
+
+class TwistedEdwards:
+    """Full curve module for a twisted-Edwards curve (a = -1)."""
+
+    def __init__(self, params: EdwardsParams, w: int = 12):
+        self.params = params
+        self.ops = EdwardsOps(params, w)
+        self.scalar = SimpleScalar(params.order, w)
+        self.oracle = EdwardsCurve(params)
+        self.label = params.label
+        self._jit_cache: dict = {}
+
+    _instances: dict = {}
+
+    @classmethod
+    def create(cls, params: EdwardsParams, w: int = 12) -> "TwistedEdwards":
+        key = (params.label, w)
+        if key not in cls._instances:
+            cls._instances[key] = cls(params, w)
+        return cls._instances[key]
+
+    def scalars_from_ints(self, scalars) -> jnp.ndarray:
+        return jnp.asarray(self.scalar.pack(scalars))
+
+    def points_from_ints(self, points) -> ExtPoints:
+        """points: list of affine (x, y) int tuples."""
+        return self.ops.pack([self.oracle.from_affine(p) for p in points])
+
+    def result_to_int(self, res: ExtPoints):
+        [p] = self.ops.unpack(res)
+        return self.oracle.to_affine(p)
+
+    def _pad(self, scalars, points: ExtPoints, multiple: int = 1):
+        """Pad N to a power of two (>= 8); padding points are the identity
+        (0,1,1,0) with zero scalars."""
+        N = points.X.shape[-1]
+        target = max(8, multiple)
+        while target < N:
+            target *= 2
+        while target % multiple:
+            target *= 2
+        if target == N:
+            return scalars, points
+        pad = target - N
+        zero = self.ops.zeros(pad)
+        scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+        points = ExtPoints(
+            *(
+                jnp.concatenate([a, z], axis=-1)
+                for a, z in zip(points, zero)
+            )
+        )
+        return scalars, points
+
+    def msm(self, scalars, points: ExtPoints, c: int | None = None, mesh=None):
+        mult = mesh.devices.size if mesh is not None else 1
+        scalars, points = self._pad(scalars, points, mult)
+        if mesh is not None:  # mesh path manages its own (cached) jits
+            return mesh_mod.msm_edwards_sharded(
+                self.ops, mesh, scalars, points, self.scalar.bits, c
+            )
+        key = ("msm", c)
+        if key not in self._jit_cache:
+
+            def fn(s, X, Y, Z, T):
+                return msm_basic_edwards(
+                    self.ops, s, ExtPoints(X, Y, Z, T), self.scalar.bits, c
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](scalars, *points)
+
+    def msm_bigint(self, scalars, points, c: int | None = None):
+        s = self.scalars_from_ints(scalars)
+        p = self.points_from_ints(points)
+        return self.result_to_int(self.msm(s, p, c))
+
+    def random_scalars(self, N: int, seed: int = 0) -> jnp.ndarray:
+        import random as _random
+
+        rng = _random.Random(seed)
+        q = self.params.order
+        return jnp.asarray(self.scalar.pack([rng.randrange(q) for _ in range(N)]))
+
+    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> ExtPoints:
+        import random as _random
+
+        rng = _random.Random(seed ^ 0x9E3779B9)
+        K = -(-entropy_bits // c)
+        Lt = 1 << c
+        E = self.ops
+        bases = [self.oracle.random(rng) for _ in range(K)]
+        key = jax.random.PRNGKey(seed)
+        idx = jax.random.randint(key, (K, N), 0, Lt)
+        acc = None
+        for k in range(K):
+            table = E.pack([self.oracle.zero, bases[k]])
+            step = E.pack([bases[k]])
+            size = 2
+            while size < Lt:
+                shift = E.scale_const(size, step)
+                shifted = E.add(
+                    table,
+                    ExtPoints(*(jnp.broadcast_to(a, t.shape) for a, t in zip(shift, table))),
+                )
+                table = ExtPoints(
+                    *(jnp.concatenate([t, s], axis=-1) for t, s in zip(table, shifted))
+                )
+                size *= 2
+            picked = ExtPoints(*(jnp.take(a, idx[k], axis=-1) for a in table))
+            acc = picked if acc is None else E.add(acc, picked)
+        return E.batch_normalize(acc)

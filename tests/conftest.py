@@ -7,12 +7,23 @@ Multi-chip sharding paths are validated on host CPU devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment's sitecustomize force-registers the axon TPU backend
+# and overrides JAX_PLATFORMS, so the env var alone is not enough — the
+# config.update below (before any backend init) is what actually pins CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the scan-heavy inverse kernels are expensive to
+# compile on CPU; cache them across pytest runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_msm")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random
 

@@ -77,27 +77,39 @@ def _polymul(x, y):
 
 
 def _polymul_const(x, const: np.ndarray):
-    """(nx, B) x constant (m,) -> (nx+m-1, B), same pad-accumulate scheme
-    iterating over the (often sparse) constant limbs."""
+    """(nx, B) x constant (m,) -> (nx+m-1, B) columns, as ONE int32 matmul
+    with the banded convolution matrix A[k, i] = const[k - i]: a single HLO
+    op (the unrolled pad-accumulate compiles ~10x slower on XLA:CPU)."""
     nx, B = x.shape
     m = const.shape[0]
     cols = nx + m - 1
-    T = jnp.zeros((cols, B), dtype=DTYPE)
-    for j in range(m):
-        cj = int(const[j])
-        if cj == 0:
-            continue
-        T = T + jnp.pad(x * cj, ((j, cols - nx - j), (0, 0)))
-    return T
+    A = np.zeros((cols, nx), dtype=np.int32)
+    for i in range(nx):
+        A[i : i + m, i] = const
+    return jax.lax.dot(jnp.asarray(A), x, preferred_element_type=DTYPE)
 
 
 def _scan_carry(cols, w: int):
-    """Sequential carry/borrow propagation as ONE lax.scan.
+    """Sequential carry/borrow propagation over the limb axis.
 
     cols: (m, *batch) int32 (may be signed). Returns (digits, final_carry):
     digits canonical in [0, 2^w), carry the signed overflow past the top.
+
+    Backend-dependent lowering: UNROLLED adds on TPU (a 32-step lax.scan of
+    trivial bodies would serialize the VPU and add loop overhead per field
+    op), lax.scan on CPU (keeps test-suite XLA compile times sane — the
+    trace is ~3 ops instead of ~3*n).
     """
     mask = (1 << w) - 1
+    if jax.default_backend() != "cpu":
+        m = cols.shape[0]
+        digits = []
+        carry = jnp.zeros(cols.shape[1:], dtype=DTYPE)
+        for i in range(m):
+            t = cols[i] + carry
+            digits.append(t & mask)
+            carry = t >> w
+        return jnp.stack(digits, axis=0), carry
 
     def body(c, col):
         t = col + c
@@ -225,34 +237,32 @@ class MontgomeryFp:
     # ---- Montgomery multiply --------------------------------------------
 
     def _montmul_flat(self, x, y):
-        """Core on flat (n, B) canonical inputs (values < 4p)."""
+        """Core on flat (n, B) canonical inputs (values < 4p).
+
+        Same phase structure as the Pallas kernel: carry T's low half to
+        canonical digits first, then ONE constant convolution for q (keeps
+        the HLO footprint small — this path is the CPU-test fallback)."""
         n, w, mask = self.n, self.w, self.mask
         # T = x * y: columns <= n * 2^24 < 2^29
         T = _polymul(x, y)  # (2n-1, B)
-        # q = (-p^-1 * T) mod R: split T columns into w-bit pieces so the
-        # constant convs stay < 2^31, truncate at n columns (mod R)
-        t0 = T & mask
-        t1 = (T >> w) & mask
-        t2 = T >> (2 * w)  # < 2^(29-24) = 32
-        q0 = _polymul_const(t0, self.pn_limbs)[:n]
-        q1 = _polymul_const(t1, self.pn_limbs)[: n - 1]
-        q2 = _polymul_const(t2, self.pn_limbs)[: n - 2]
-        zero1 = jnp.zeros((1,) + q0.shape[1:], dtype=DTYPE)
-        zero2 = jnp.zeros((2,) + q0.shape[1:], dtype=DTYPE)
-        qc = (
-            q0
-            + jnp.concatenate([zero1, q1], axis=0)
-            + jnp.concatenate([zero2, q2], axis=0)
-        )  # columns < 3 * 2^29 < 2^31
+        # t_lo = canonical digits of T mod R (one scan over low n columns)
+        t_lo, carry_low_T = _scan_carry(T[:n], w)
+        # q = (t_lo * -p^-1) mod R: one constant conv, columns < n*2^24
+        qc = _polymul_const(t_lo, self.pn_limbs)[:n]
         q, _ = _scan_carry(qc, w)  # canonical q in [0, R)
-        # U = q * p; S = T + U == 0 mod R; out = S / R < 2p
+        # U = q * p; low half of (t_lo + U) is divisible by R: carry only
         U = _polymul_const(q, self.p_limbs)  # (2n-1, B)
-        S = T + U  # columns < 2^30
-
-        # single scan: consume low n columns (digits are all 0 — the carry
-        # is the division by R), emit the top digits
-        digits, carry = _scan_carry(S, w)
-        out = jnp.concatenate([digits[n:], carry[None]], axis=0)  # (n, B)
+        low = t_lo + U[:n]
+        _, carry_low = _scan_carry(low, w)
+        # out = T_hi + U_hi + carries (the division by R)
+        hiT = jnp.concatenate(
+            [T[n:], jnp.zeros((1,) + T.shape[1:], dtype=DTYPE)], axis=0
+        )
+        hiU = U[n:]
+        pad = jnp.zeros((n - hiU.shape[0],) + U.shape[1:], dtype=DTYPE)
+        hi = hiT + jnp.concatenate([hiU, pad], axis=0)
+        hi = hi.at[0].add(carry_low + carry_low_T)
+        out, _ = _scan_carry(hi, w)  # (n, B), value < 2p
         return out
 
     def montmul(self, x, y):
@@ -284,22 +294,42 @@ class MontgomeryFp:
 
     # ---- exponentiation / inverse ---------------------------------------
 
-    def exp_const(self, x, e: int):
-        """x^e for a *static* exponent, in Montgomery form; lax.scan over the
-        exponent bits keeps the trace at ~2 montmuls (cf. `src/wasm/exp.ts`)."""
-        nbits = max(e.bit_length(), 1)
-        bits = jnp.asarray(
-            np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
+    def exp_const(self, x, e: int, window: int = 4):
+        """x^e for a *static* exponent, in Montgomery form (cf. `src/wasm/exp.ts`).
+
+        Fixed-window (2^window-entry table) square-and-multiply as ONE
+        lax.scan over the exponent's windows, MSB-first: the scan keeps the
+        trace small (compile speed) and the windowing cuts the *sequential
+        multiply depth* to ~bits + bits/window — sequential depth is the
+        scarce resource on TPU, not multiply throughput."""
+        if e == 0:
+            return self.ones_mont(*x.shape[1:])
+        nbits = e.bit_length()
+        n_win = -(-nbits // window)
+        digits = np.array(
+            [(e >> (window * i)) & ((1 << window) - 1) for i in range(n_win)][::-1],
+            dtype=np.int32,
         )
-        acc0 = self.ones_mont(*x.shape[1:])
+        # table[j] = x^j, j in [0, 2^window), built by ONE scan (trace size)
+        def tbl_body(prev, _):
+            nxt = self.montmul(prev, x)
+            return nxt, nxt
 
-        def body(carry, bit):
-            acc, base = carry
-            acc = jnp.where(bit, self.montmul(acc, base), acc)
-            base = self.montsquare(base)
-            return (acc, base), None
+        one = self.ones_mont(*x.shape[1:])
+        _, higher = jax.lax.scan(tbl_body, x, None, length=(1 << window) - 2)
+        tbl = jnp.concatenate([one[None], x[None], higher], axis=0)
 
-        (acc, _), _ = jax.lax.scan(body, (acc0, x), bits)
+        def body(acc, d):
+            for _ in range(window):
+                acc = self.montsquare(acc)
+            step = jax.lax.dynamic_index_in_dim(tbl, d, axis=0, keepdims=False)
+            return self.montmul(acc, step), None
+
+        # first window needs no leading squarings: start from table[digits[0]]
+        acc0 = jax.lax.dynamic_index_in_dim(
+            tbl, jnp.asarray(digits[0]), axis=0, keepdims=False
+        )
+        acc, _ = jax.lax.scan(body, acc0, jnp.asarray(digits[1:]))
         return acc
 
     def inverse(self, x):
@@ -312,15 +342,16 @@ class MontgomeryFp:
         """
         return self.exp_const(x, self.p - 2)
 
-    def batch_inverse(self, x, cols: int = 128):
+    def batch_inverse(self, x, rows: int = 8):
         """Vectorized Montgomery batch inversion over the last batch axis.
 
         Blocked prefix-product design replacing the reference's O(B)
-        sequential chain (`src/wasm/inverse.ts:220-271`): sequential scan
-        along B/cols rows (full vector width), log-depth tree across the
-        ``cols`` column totals, ONE Fermat inversion of the grand total,
-        then unwind. ~3B + 4*cols muls, sequential depth ~2*(B/cols) +
-        2*log2(cols) + bits(p).
+        sequential chain (`src/wasm/inverse.ts:220-271`): a SHORT unrolled
+        prefix chain of ``rows`` full-width multiplies, a log-depth tree
+        across the B/rows column totals, ONE windowed-Fermat inversion of
+        the grand total, then unwind both. ~3B + 4*cols muls; sequential
+        depth ~2*rows + 2*log2(B/rows) + ~1.25*bits(p) — depth, not
+        throughput, is the scarce resource on TPU.
 
         All inputs must be nonzero mod p (callers mask zeros to 1 first).
         """
@@ -328,24 +359,25 @@ class MontgomeryFp:
         batch = x.shape[1:]
         if len(batch) != 1:
             flat = x.reshape(n, -1)
-            return self.batch_inverse(flat, cols).reshape(x.shape)
+            return self.batch_inverse(flat, rows).reshape(x.shape)
         B = batch[0]
-        if B <= 2:
+        if B <= 4:
             return self.inverse(x)
-        cols = min(cols, B)
-        while B % cols != 0:
-            cols //= 2
-        rows = B // cols
+        rows = max(min(rows, B), 1)
+        while B % rows != 0:
+            rows -= 1
+        cols = B // rows
         xr = x.reshape(n, rows, cols)
 
-        def scan_body(carry, xrow):
-            prod = self.montmul(carry, xrow)
-            return prod, prod
+        # prefix products down the rows (ONE scan: trace has 1 montmul)
+        def pref_body(acc, xrow):
+            nxt = self.montmul(acc, xrow)
+            return nxt, nxt
 
-        init = self.ones_mont(cols)
-        total_per_col, prefixes = jax.lax.scan(
-            scan_body, init, jnp.moveaxis(xr, 1, 0)
-        )  # prefixes: (rows, n, cols)
+        _, prefixes = jax.lax.scan(
+            pref_body, self.ones_mont(cols), jnp.moveaxis(xr, 1, 0)
+        )  # (rows, n, cols)
+        total_per_col = prefixes[-1]  # (n, cols)
 
         # tree-reduce column totals, storing levels for the unwind
         levels = []
@@ -378,18 +410,21 @@ class MontgomeryFp:
                 inv = jnp.concatenate([inv_left, inv_right], axis=1)
         inv_col_totals = inv  # (n, cols)
 
-        prefixes_shifted = jnp.concatenate([init[None], prefixes[:-1]], axis=0)
+        # unwind the row prefix chain (ONE reverse scan):
+        # inv(x_i) = inv(P_i) * P_{i-1};  inv(P_{i-1}) = inv(P_i) * x_i
+        prev_prefix = jnp.concatenate(
+            [self.ones_mont(cols)[None], prefixes[:-1]], axis=0
+        )
 
-        def unwind_body(suffix_inv, args):
+        def unwind_body(inv_P, args):
             xrow, pref = args
-            inv_row = self.montmul(suffix_inv, pref)
-            suffix_inv = self.montmul(suffix_inv, xrow)
-            return suffix_inv, inv_row
+            inv_row = self.montmul(inv_P, pref)
+            return self.montmul(inv_P, xrow), inv_row
 
         _, inv_rows = jax.lax.scan(
             unwind_body,
             inv_col_totals,
-            (jnp.moveaxis(xr, 1, 0), prefixes_shifted),
+            (jnp.moveaxis(xr, 1, 0), prev_prefix),
             reverse=True,
         )
         return jnp.moveaxis(inv_rows, 0, 1).reshape(n, B)

@@ -45,16 +45,10 @@ class _AffineAcc(NamedTuple):
         return self.W.proj_double(a)
 
 
-def accumulate_batched_affine(
-    W: WeierstrassOps,
-    S: GlvScalar,
-    scalars,
-    points: AffinePoints,
-    c: int,
-    safe: bool = True,
-):
-    """Stages prep-1/prep-2/accumulation: returns affine bucket sums
-    (leaves (.., K, L)) plus the empty-bucket mask (K, L)."""
+def glv_prep(W: WeierstrassOps, S: GlvScalar, scalars, points: AffinePoints, c: int):
+    """Stages prep-1/prep-2: GLV decompose + endomorphism expansion (2N
+    points) and signed-digit slicing of both scalar halves. Returns
+    (pts2, mags, signs, K, L)."""
     K = default_windows(S.max_bits, c)
     L = 1 << (c - 1)
 
@@ -76,6 +70,20 @@ def accumulate_batched_affine(
     # points with infinity flag never contribute: zero their digits
     inf2 = pts2.inf.astype(bool)[None, :]
     mags = jnp.where(inf2, 0, mags)
+    return pts2, mags, signs, K, L
+
+
+def accumulate_batched_affine(
+    W: WeierstrassOps,
+    S: GlvScalar,
+    scalars,
+    points: AffinePoints,
+    c: int,
+    safe: bool = True,
+):
+    """Stages prep-1/prep-2/accumulation: returns affine bucket sums
+    (leaves (.., K, L)) plus the empty-bucket mask (K, L)."""
+    pts2, mags, signs, K, L = glv_prep(W, S, scalars, points, c)
 
     # --- stage 1: batched-affine bucket accumulation ---
     def cneg(P, flag):
@@ -92,6 +100,40 @@ def accumulate_batched_affine(
         )
 
     sums, empty = engine.accumulate_buckets(pts2, mags, signs, L, pair_add, cneg, zero_like)
+    return sums, empty
+
+
+def accumulate_glv_projective(
+    W: WeierstrassOps,
+    S: GlvScalar,
+    scalars,
+    points: AffinePoints,
+    c: int,
+):
+    """GLV + signed-digit bucket accumulation with COMPLETE projective adds
+    (Renes-Costello-Batina): no inversions, no edge-case masks, always safe.
+
+    The reference's batched-affine trick trades ~2x multiplies for a shared
+    batch inversion per halving level — a CPU economy (`doc/zprize22.md:338`).
+    On TPU the inversion's ~400-deep sequential multiply chain is latency,
+    not throughput, so the branch-free 12-mul complete add can win; both
+    paths are kept and benchmarked (bench.py). Returns projective bucket
+    sums (identity = Z=0 encodes emptiness)."""
+    pts2, mags, signs, K, L = glv_prep(W, S, scalars, points, c)
+    prj = W.from_affine(pts2)
+
+    def cneg(P, flag):
+        return ProjectivePoints(P.X, W.F.cneg(P.Y, flag), P.Z)
+
+    def pair_add(P0, P1, has_partner, valid):
+        summed = W.proj_add(P0, P1)
+        return engine._select(has_partner, summed, P0)
+
+    def zero_like(K_, L_):
+        F = W.F
+        return ProjectivePoints(F.zeros(K_, L_), F.ones_mont(K_, L_), F.zeros(K_, L_))
+
+    sums, empty = engine.accumulate_buckets(prj, mags, signs, L, pair_add, cneg, zero_like)
     return sums, empty
 
 
@@ -143,14 +185,22 @@ def msm_batched_affine(
     points: AffinePoints,
     c: int | None = None,
     safe: bool = True,
+    mode: str = "affine",
 ) -> ProjectivePoints:
     """scalars: (n_scalar, N) plain limbs in [0, q); points: affine batch (N).
 
     Returns the MSM result as a single projective point (batch size 1).
-    safe=False is the msmUnsafe contract: all effective points distinct.
+    safe=False is the msmUnsafe contract: all effective points distinct
+    (only meaningful for mode="affine"; projective adds are always complete).
+    mode: "affine" = batched-affine adds with shared batch inversion per
+    halving level (the reference's flagship economy); "projective" =
+    complete 12-mul adds, zero inversions (lower sequential depth).
     """
     N = points.x.shape[-1]
     if c is None:
         c = window_size("batched-affine", max(N.bit_length() - 1, 1))
+    if mode == "projective":
+        sums, _empty = accumulate_glv_projective(W, S, scalars, points, c)
+        return finalize_projective_buckets(W, sums, c)
     sums, empty = accumulate_batched_affine(W, S, scalars, points, c, safe)
     return finalize_affine_buckets(W, sums, empty, c)

@@ -70,14 +70,8 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
     P = _take(points, order)  # leaves (..., K, B)
     P = cneg(P, sorted_signs)
 
-    offsets = jnp.cumsum(counts, axis=-1) - counts  # (K, L) exclusive
-    width = B
-    cur_counts = counts
-    # exactly ceil(log2(B)) halving levels guarantee every count reaches <= 1
-    # (width alone can plateau at L+1 while one bucket still holds many)
-    n_levels = max((B - 1).bit_length(), 0)
-    for _level in range(n_levels):
-        next_width = min(width, (width + L) // 2 + 1)
+    def one_level(P, cur_counts, width, next_width):
+        offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
         bucket, rank, valid, next_counts = halving_layout(cur_counts, next_width)
         base = jnp.take_along_axis(offsets, bucket, axis=-1)
         cnt = jnp.take_along_axis(cur_counts, bucket, axis=-1)
@@ -86,12 +80,46 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
         has_partner = (2 * rank + 1 < cnt) & valid
         P0 = _take2(P, pos0)
         P1 = _take2(P, pos1)
-        P = pair_add(P0, P1, has_partner, valid)
-        cur_counts = next_counts
-        offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
-        width = next_width
+        return pair_add(P0, P1, has_partner, valid), next_counts
+
+    # exactly ceil(log2(B)) halving levels guarantee every count reaches <= 1
+    # (width alone can plateau at L+1 while one bucket still holds many)
+    n_levels = max((B - 1).bit_length(), 0)
+    # static width schedule: a geometrically-shrinking prefix (unrolled),
+    # then a constant-width plateau expressed as ONE lax.scan — the scan
+    # keeps the trace (and XLA compile time) at O(prefix + 1) level bodies
+    # instead of O(log B)
+    widths = [B]
+    for _ in range(n_levels):
+        widths.append(min(widths[-1], (widths[-1] + L) // 2 + 1))
+    n_prefix = n_levels
+    for l in range(n_levels):
+        if widths[l + 1] == widths[l]:
+            n_prefix = l
+            break
+
+    width = B
+    cur_counts = counts
+    for level in range(n_prefix):
+        P, cur_counts = one_level(P, cur_counts, widths[level], widths[level + 1])
+        width = widths[level + 1]
+
+    n_plateau = n_levels - n_prefix
+    if n_plateau > 0:
+        pt_type = type(P)
+
+        def body(carry, _):
+            leaves, cur_counts = carry
+            Pn, next_counts = one_level(pt_type(*leaves), cur_counts, width, width)
+            return (tuple(Pn), next_counts), None
+
+        (leaves, cur_counts), _ = jax.lax.scan(
+            body, (tuple(P), cur_counts), None, length=n_plateau
+        )
+        P = pt_type(*leaves)
 
     # final: bucket b's sum (count<=1) sits at offsets[:, b]
+    offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
     idx = jnp.clip(offsets, 0, width - 1)
     sums = _take2(P, idx)
     empty = cur_counts == 0
@@ -193,8 +221,8 @@ def horner(window_sums, c: int, add, double, zero1):
     ws = type(window_sums)(*(jnp.moveaxis(a[..., : K - 1], -1, 0) for a in window_sums))
 
     def body(carry, wk):
-        for _ in range(c):
-            carry = double(carry)
+        # c doublings as a fori_loop: 1 traced double instead of c
+        carry = jax.lax.fori_loop(0, c, lambda _, v: double(v), carry)
         # restore the explicit trailing batch dim the scan sliced away
         carry = add(carry, type(window_sums)(*(a[..., None] for a in wk)))
         return carry, None

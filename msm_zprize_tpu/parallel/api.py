@@ -29,6 +29,15 @@ from . import mesh as mesh_mod
 
 __all__ = ["Weierstrass", "TwistedEdwards"]
 
+import os as _os
+
+
+def _default_mode() -> str:
+    """Flagship accumulation mode: "affine" (batched-affine + shared batch
+    inversion, the reference's economy) or "projective" (complete adds, no
+    inversions). Overridable via MSM_TPU_MODE for benchmarking."""
+    return _os.environ.get("MSM_TPU_MODE", "affine")
+
 
 class Weierstrass:
     """Full curve module for a short-Weierstrass curve with GLV endomorphism."""
@@ -89,40 +98,57 @@ class Weierstrass:
         )
         return scalars, points
 
-    def _jitted_msm(self, c: int | None, safe: bool):
-        key = ("msm", c, safe)
+    def _jitted_msm(self, c: int | None, safe: bool, mode: str):
+        key = ("msm", c, safe, mode)
         if key not in self._jit_cache:
 
             def fn(s, px, py, pinf):
                 return msm_batched_affine(
                     self.ops, self.scalar, s, AffinePoints(px, py, pinf), c,
-                    safe=safe,
+                    safe=safe, mode=mode,
                 )
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def msm(self, scalars, points: AffinePoints, c: int | None = None, mesh=None):
+    def msm(
+        self,
+        scalars,
+        points: AffinePoints,
+        c: int | None = None,
+        mesh=None,
+        mode: str | None = None,
+    ):
         """Safe MSM (handles duplicate points). scalars (n, N) limb array."""
+        mode = mode or _default_mode()
         mult = mesh.devices.size if mesh is not None else 1
         scalars, points = self._pad(scalars, points, mult)
         if mesh is not None:  # mesh path manages its own (cached) jits
             return mesh_mod.msm_batched_affine_sharded(
-                self.ops, self.scalar, mesh, scalars, points, c, safe=True
+                self.ops, self.scalar, mesh, scalars, points, c, safe=True, mode=mode
             )
-        fn = self._jitted_msm(c, True)
+        fn = self._jitted_msm(c, True, mode)
         return fn(scalars, points.x, points.y, points.inf)
 
-    def msm_unsafe(self, scalars, points: AffinePoints, c: int | None = None, mesh=None):
+    def msm_unsafe(
+        self,
+        scalars,
+        points: AffinePoints,
+        c: int | None = None,
+        mesh=None,
+        mode: str | None = None,
+    ):
         """Fast path assuming all effective points distinct
-        (`msmUnsafe`, `msm-batched-affine.ts:74-82`)."""
+        (`msmUnsafe`, `msm-batched-affine.ts:74-82`). With mode="projective"
+        the complete formulas make this identical to the safe path."""
+        mode = mode or _default_mode()
         mult = mesh.devices.size if mesh is not None else 1
         scalars, points = self._pad(scalars, points, mult)
         if mesh is not None:
             return mesh_mod.msm_batched_affine_sharded(
-                self.ops, self.scalar, mesh, scalars, points, c, safe=False
+                self.ops, self.scalar, mesh, scalars, points, c, safe=False, mode=mode
             )
-        fn = self._jitted_msm(c, False)
+        fn = self._jitted_msm(c, False, mode)
         return fn(scalars, points.x, points.y, points.inf)
 
     def msm_projective(self, scalars, points: ProjectivePoints, c: int | None = None):
@@ -142,13 +168,14 @@ class Weierstrass:
     # ---- random inputs (curve-random.ts analogs) -------------------------
 
     def random_scalars(self, N: int, seed: int = 0) -> jnp.ndarray:
-        """Uniform scalars in [0, q) via host-side rejection sampling on a
-        seeded PRNG (`createRandomScalars`, `curve-random.ts:151-194`)."""
-        import random as _random
+        """Uniform scalars in [0, q) via vectorized host-side rejection
+        sampling (`createRandomScalars`, `curve-random.ts:151-194`)."""
+        from ..fields.bytes_codec import random_uniform_limbs
 
-        rng = _random.Random(seed)
-        q = self.params.order
-        return jnp.asarray(self.scalar.pack([rng.randrange(q) for _ in range(N)]))
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(
+            random_uniform_limbs(rng, self.params.order, N, self.scalar.scheme)
+        )
 
     def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> AffinePoints:
         """Fast non-hiding random points (`createRandomPointsFast`,
@@ -267,11 +294,12 @@ class TwistedEdwards:
         return self.result_to_int(self.msm(s, p, c))
 
     def random_scalars(self, N: int, seed: int = 0) -> jnp.ndarray:
-        import random as _random
+        from ..fields.bytes_codec import random_uniform_limbs
 
-        rng = _random.Random(seed)
-        q = self.params.order
-        return jnp.asarray(self.scalar.pack([rng.randrange(q) for _ in range(N)]))
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(
+            random_uniform_limbs(rng, self.params.order, N, self.scalar.scheme)
+        )
 
     def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> ExtPoints:
         import random as _random

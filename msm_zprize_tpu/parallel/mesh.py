@@ -27,6 +27,7 @@ from ..fields.scalar import GlvScalar
 from ..msm.basic import accumulate_edwards, finalize_edwards
 from ..msm.batched_affine import (
     accumulate_batched_affine,
+    accumulate_glv_projective,
     finalize_projective_buckets,
 )
 from ..msm.common import window_size
@@ -75,9 +76,14 @@ def _tree_reduce_axis0(add_fn, pts):
 
 
 @lru_cache(maxsize=None)
-def _sharded_affine_fns(W: WeierstrassOps, S: GlvScalar, mesh: Mesh, c: int, safe: bool):
+def _sharded_affine_fns(
+    W: WeierstrassOps, S: GlvScalar, mesh: Mesh, c: int, safe: bool, mode: str
+):
     def local_accumulate(s, px, py, pinf):
         pts = AffinePoints(px, py, pinf)
+        if mode == "projective":
+            sums, _empty = accumulate_glv_projective(W, S, s, pts, c)
+            return sums.X[None], sums.Y[None], sums.Z[None]
         sums, empty = accumulate_batched_affine(W, S, s, pts, c, safe)
         # affine bucket sums -> projective. NOTE: the identity must be the
         # canonical (0 : 1 : 0) — the RCB complete formulas are only valid
@@ -121,6 +127,7 @@ def msm_batched_affine_sharded(
     points: AffinePoints,
     c: int | None = None,
     safe: bool = True,
+    mode: str = "affine",
 ) -> ProjectivePoints:
     """Flagship MSM over a device mesh; N must divide by the mesh size.
 
@@ -132,7 +139,7 @@ def msm_batched_affine_sharded(
     assert N % n_dev == 0, "pad N to a multiple of the mesh size"
     if c is None:
         c = window_size("batched-affine", max(N.bit_length() - 1, 1))
-    acc, combine = _sharded_affine_fns(W, S, mesh, c, safe)
+    acc, combine = _sharded_affine_fns(W, S, mesh, c, safe, mode)
     gx, gy, gz = acc(scalars, points.x, points.y, points.inf)  # (d, n, K, L)
     # pull per-chip partials onto one device for the cheap tail (the analog
     # of the reference's main-thread-only stage 3) — keeps the tail's

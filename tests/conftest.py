@@ -13,9 +13,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # tests check bit-exact integer semantics; XLA optimization level only
+    # affects compile speed (big win on the 2-CPU test host)
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -103,7 +103,7 @@ def test_batch_inverse(F, rng, size):
     p = F.p
     a = [rng.randrange(1, p) for _ in range(size)]
     xa = jnp.asarray(F.pack(a))
-    inv = F.unpack(jax.jit(lambda x: F.batch_inverse(x, cols=8))(xa))
+    inv = F.unpack(jax.jit(lambda x: F.batch_inverse(x, rows=4))(xa))
     assert all(u * v % p == 1 for u, v in zip(a, inv))
 
 

@@ -68,7 +68,7 @@ def test_msm_projective_basic(bls, rng):
     pts, scs, want = _setup_w(bls, rng, 8)
     s = bls.scalars_from_ints(scs)
     prj = bls.ops.from_affine(bls.points_from_ints(pts))
-    res = jax.jit(lambda ss, X, Y, Z: bls.msm_projective(ss, type(prj)(X, Y, Z), c=13))(
+    res = jax.jit(lambda ss, X, Y, Z: bls.msm_projective(ss, type(prj)(X, Y, Z), c=8))(
         s, *prj
     )
     assert bls.result_to_int(res) == want

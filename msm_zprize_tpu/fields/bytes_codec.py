@@ -1,20 +1,21 @@
-"""Host-side packed-bytes <-> limb-vector codec (numpy-vectorized).
+"""Host-side packed-bytes <-> limb-vector codec.
 
 TPU-native analog of the reference's in-WASM conversions
 (`src/wasm/field-helpers.ts:211-301` fromPackedBytes / toPackedBytes): the
 byte <-> limb re-packing is host-side data loading here (it happens once at
-the I/O boundary), so it is vectorized with numpy instead of running per
-element — one call converts millions of values.
+the I/O boundary). Hot paths dispatch to the native C++ runtime tier
+(`native/codec.cpp` via `utils.native_codec`, multi-threaded over elements)
+when a toolchain is available, with a numpy-vectorized fallback.
 
 Also provides rejection-sampled uniform values below a bound
-(`src/bigint/field-random.ts:30-101` / `curve-random.ts:151-194` analog),
-again fully vectorized.
+(`src/bigint/field-random.ts:30-101` / `curve-random.ts:151-194` analog).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..utils import native_codec
 from .limbs import LimbScheme
 
 __all__ = [
@@ -30,6 +31,9 @@ def bytes_to_limbs(data: np.ndarray, scheme: LimbScheme) -> np.ndarray:
     """(B, nbytes) uint8 little-endian -> (n, B) int32 canonical limbs."""
     assert data.dtype == np.uint8 and data.ndim == 2
     B, nbytes = data.shape
+    native = native_codec.bytes_to_limbs_native(data, scheme.n, scheme.w)
+    if native is not None:
+        return native
     out = np.zeros((scheme.n, B), dtype=np.int32)
     for i in range(scheme.n):
         lo_bit = scheme.w * i
@@ -49,6 +53,9 @@ def limbs_to_bytes(limbs: np.ndarray, scheme: LimbScheme, nbytes: int | None = N
     n, B = limbs.shape
     if nbytes is None:
         nbytes = (scheme.bits + 7) // 8
+    native = native_codec.limbs_to_bytes_native(limbs, scheme.w, nbytes)
+    if native is not None:
+        return native
     out = np.zeros((B, nbytes), dtype=np.uint8)
     for j in range(nbytes):
         lo_bit = 8 * j
@@ -79,6 +86,9 @@ def bytes_to_ints(data: np.ndarray) -> list[int]:
 def _less_than(limbs: np.ndarray, bound_limbs: np.ndarray) -> np.ndarray:
     """Lexicographic (big-endian-limb) compare: limbs < bound, vectorized.
     limbs (n, B), bound_limbs (n,). Returns (B,) bool."""
+    native = native_codec.below_bound_native(limbs, bound_limbs)
+    if native is not None:
+        return native
     n, B = limbs.shape
     lt = np.zeros(B, dtype=bool)
     decided = np.zeros(B, dtype=bool)

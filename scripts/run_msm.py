@@ -1,0 +1,106 @@
+"""CLI MSM runner/benchmark — analog of the reference's run scripts
+(`scripts/run-msm-{pallas,377,ed-377,pallas-projective}.ts`,
+`scripts/msm-weierstrass.ts:20-48`, `msm-twisted-edwards.ts`).
+
+Usage:
+    python scripts/run_msm.py <curve> <logN> [--devices D] [--mode affine|projective]
+                              [--c C] [--runs R] [--warmup W] [--evaluate]
+
+curve: bls12-377 | bls12-381 | pallas | ed-on-bls12-377
+Benchmark method mirrors the reference: warmup runs, then median +- stddev of
+timed runs with fixed points and fresh scalars per run; results are
+cross-checked against the bigint oracle for logN < 14
+(`scripts/msm-weierstrass.ts:100-110`).
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("curve", choices=["bls12-377", "bls12-381", "pallas", "ed-on-bls12-377"])
+    ap.add_argument("logN", type=int)
+    ap.add_argument("--devices", type=int, default=1, help="mesh size (1 = single chip)")
+    ap.add_argument("--mode", choices=["affine", "projective"], default=None)
+    ap.add_argument("--c", type=int, default=None, help="window size override")
+    ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--evaluate", action="store_true", help="always cross-check vs oracle")
+    args = ap.parse_args()
+
+    from msm_zprize_tpu.bigint.msm import msm as msm_oracle
+    from msm_zprize_tpu.curves.params import (
+        BLS12_377, BLS12_381, ED_ON_BLS12_377, PALLAS,
+    )
+    from msm_zprize_tpu.parallel.api import TwistedEdwards, Weierstrass
+    from msm_zprize_tpu.parallel.mesh import make_mesh
+
+    N = 1 << args.logN
+    mesh = make_mesh(args.devices) if args.devices > 1 else None
+
+    if args.curve == "ed-on-bls12-377":
+        curve = TwistedEdwards.create(ED_ON_BLS12_377)
+        msm_kwargs = dict(c=args.c, mesh=mesh)
+    else:
+        params = {"bls12-377": BLS12_377, "bls12-381": BLS12_381, "pallas": PALLAS}[args.curve]
+        curve = Weierstrass.create(params)
+        msm_kwargs = dict(c=args.c, mesh=mesh, mode=args.mode)
+
+    print(f"[{args.curve}] N=2^{args.logN}, devices={args.devices}", file=sys.stderr)
+    t0 = time.time()
+    points = curve.random_points_fast(N, seed=1)
+    jax.block_until_ready(points)
+    print(f"random points: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    result = None
+    for run in range(args.warmup + args.runs):
+        scalars = curve.random_scalars(N, seed=run)
+        t0 = time.time()
+        result = curve.msm(scalars, points, **msm_kwargs)
+        jax.block_until_ready(result)
+        dt = time.time() - t0
+        if run >= args.warmup:
+            times.append(dt)
+        print(f"  run {run}: {dt*1e3:.1f} ms", file=sys.stderr)
+    med = statistics.median(times)
+    std = statistics.pstdev(times)
+    print(f"msm {args.curve} 2^{args.logN}: {med*1e3:.1f} +- {std*1e3:.1f} ms "
+          f"({med/N*1e9:.0f} ns/point)")
+
+    if args.evaluate or args.logN < 14:
+        # bit-exact cross-check vs the bigint oracle on the last run's inputs
+        scs = (curve.scalar.unpack if hasattr(curve.scalar, "unpack") else None)(
+            __import__("numpy").asarray(scalars)
+        )
+        if args.curve == "ed-on-bls12-377":
+            pts = curve.ops.unpack(points)
+            C = curve.oracle
+            want = C.to_affine(msm_oracle(C, scs, pts, curve.scalar.bits))
+            got = curve.result_to_int(result)
+        else:
+            pts_a = curve.ops.unpack_affine(points)
+            C = curve.oracle_projective
+            want = C.to_affine(
+                msm_oracle(C, scs, [C.from_affine(p) for p in pts_a], curve.scalar.bits)
+            )
+            got = curve.result_to_int(result)
+        assert got == want, "MSM mismatch vs bigint oracle"
+        print("oracle cross-check: OK", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

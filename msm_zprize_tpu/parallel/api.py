@@ -181,40 +181,59 @@ class Weierstrass:
         """Fast non-hiding random points (`createRandomPointsFast`,
         `curve-random.ts:14-92`): K = ceil(entropy/c) random base points, a
         2^c-entry multiple table per base built by table-doubling, each
-        output point a sum of one entry per table, batch-normalized."""
+        output point a sum of one entry per table, batch-normalized.
+
+        The multiple tables are built host-side with the bigint oracle (the
+        setup is O(K*2^c) cheap bigint adds, exactly the reference's
+        JS-driven table build); the device program is just gather + K-way
+        add + batch normalization — ONE small jitted program, so the compile
+        cost stays trivial."""
         import random as _random
 
         rng = _random.Random(seed ^ 0x9E3779B9)
         K = -(-entropy_bits // c)
         Lt = 1 << c
-        bases = [self.oracle_affine.random(rng) for _ in range(K)]
-        key = jax.random.PRNGKey(seed)
-        idx = jax.random.randint(key, (K, N), 0, Lt)
-
         W = self.ops
-        acc = None
-        for k in range(K):
-            # table of multiples 0..Lt-1 of base k (projective), built by
-            # doubling the table size log2(Lt) times
-            table = W.from_affine(W.pack_affine([None, bases[k]]))
-            step = W.from_affine(W.pack_affine([bases[k]]))
-            size = 2
-            while size < Lt:
-                # shift = size * base  (scale by constant)
-                shift = W.proj_scale_const(size, step)
-                shifted = W.proj_add(
-                    table,
-                    ProjectivePoints(
-                        *(jnp.broadcast_to(a, t.shape) for a, t in zip(shift, table))
-                    ),
+        A = self.oracle_affine
+        bases = [A.random(rng) for _ in range(K)]
+        # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k] affine
+        rows = []
+        for b in bases:
+            row = [None]
+            for _ in range(1, Lt):
+                row.append(A.add(row[-1], b))
+            rows.append(row)
+        table = W.pack_affine([p for row in rows for p in row])  # (n, K*Lt)
+        tx = table.x.reshape(-1, K, Lt)
+        ty = table.y.reshape(-1, K, Lt)
+        tinf = table.inf.reshape(K, Lt)
+        idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
+
+        key = ("rpf", K, c, N)
+        if key not in self._jit_cache:
+
+            def fn(tx, ty, tinf, idx):
+                # gather one affine entry per table: (n, K, N)
+                gx = jnp.take_along_axis(
+                    tx, jnp.broadcast_to(idx, tx.shape[:-2] + idx.shape), axis=-1
                 )
-                table = ProjectivePoints(
-                    *(jnp.concatenate([t, s], axis=-1) for t, s in zip(table, shifted))
+                gy = jnp.take_along_axis(
+                    ty, jnp.broadcast_to(idx, ty.shape[:-2] + idx.shape), axis=-1
                 )
-                size *= 2
-            picked = ProjectivePoints(*(jnp.take(a, idx[k], axis=-1) for a in table))
-            acc = picked if acc is None else W.proj_add(acc, picked)
-        return W.to_affine(acc)
+                ginf = jnp.take_along_axis(tinf, idx, axis=-1)  # (K, N)
+                # fold the K tables' picks (K is tiny): proj acc += affine pick
+                acc = W.from_affine(
+                    AffinePoints(gx[..., 0, :], gy[..., 0, :], ginf[0])
+                )
+                for k in range(1, K):
+                    acc = W.proj_add_affine(
+                        acc, AffinePoints(gx[..., k, :], gy[..., k, :], ginf[k])
+                    )
+                pts = W.to_affine(acc)
+                return pts.x, pts.y, pts.inf
+
+            self._jit_cache[key] = jax.jit(fn)
+        return AffinePoints(*self._jit_cache[key](tx, ty, tinf, idx))
 
 
 class TwistedEdwards:
@@ -302,30 +321,43 @@ class TwistedEdwards:
         )
 
     def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> ExtPoints:
+        """Host-side oracle table build (cheap bigint setup, like the
+        reference's JS-driven tables) + ONE small device program: gather,
+        K-way unified add, batch normalization."""
         import random as _random
 
         rng = _random.Random(seed ^ 0x9E3779B9)
         K = -(-entropy_bits // c)
         Lt = 1 << c
         E = self.ops
-        bases = [self.oracle.random(rng) for _ in range(K)]
-        key = jax.random.PRNGKey(seed)
-        idx = jax.random.randint(key, (K, N), 0, Lt)
-        acc = None
-        for k in range(K):
-            table = E.pack([self.oracle.zero, bases[k]])
-            step = E.pack([bases[k]])
-            size = 2
-            while size < Lt:
-                shift = E.scale_const(size, step)
-                shifted = E.add(
-                    table,
-                    ExtPoints(*(jnp.broadcast_to(a, t.shape) for a, t in zip(shift, table))),
+        O = self.oracle
+        rows = []
+        for _ in range(K):
+            b = O.random(rng)
+            row = [O.zero]
+            for _ in range(1, Lt):
+                row.append(O.add(row[-1], b))
+            rows.append(row)
+        table = E.pack([p for row in rows for p in row])  # leaves (n, K*Lt)
+        tleaves = tuple(a.reshape(-1, K, Lt) for a in table)
+        idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
+
+        key = ("rpf", K, c, N)
+        if key not in self._jit_cache:
+
+            def fn(tX, tY, tZ, tT, idx):
+                picked = ExtPoints(
+                    *(
+                        jnp.take_along_axis(
+                            a, jnp.broadcast_to(idx, a.shape[:-2] + idx.shape), axis=-1
+                        )
+                        for a in (tX, tY, tZ, tT)
+                    )
                 )
-                table = ExtPoints(
-                    *(jnp.concatenate([t, s], axis=-1) for t, s in zip(table, shifted))
-                )
-                size *= 2
-            picked = ExtPoints(*(jnp.take(a, idx[k], axis=-1) for a in table))
-            acc = picked if acc is None else E.add(acc, picked)
-        return E.batch_normalize(acc)
+                acc = ExtPoints(*(a[..., 0, :] for a in picked))
+                for k in range(1, K):
+                    acc = E.add(acc, ExtPoints(*(a[..., k, :] for a in picked)))
+                return tuple(E.batch_normalize(acc))
+
+            self._jit_cache[key] = jax.jit(fn)
+        return ExtPoints(*self._jit_cache[key](*tleaves, idx))

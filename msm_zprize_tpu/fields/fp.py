@@ -285,6 +285,12 @@ class MontgomeryFp:
     def montsquare(self, x):
         return self.montmul(x, x)
 
+    def left_shift(self, x, k: int):
+        """x * 2^k, Montgomery-form preserving (multiply by the constant
+        2^k*R mod p; cf. `multiply-montgomery.ts:224` leftShift)."""
+        c = self._col((1 << k) * self.R % self.p, x)
+        return self.montmul(x, jnp.broadcast_to(c, x.shape).astype(x.dtype))
+
     def to_montgomery(self, x):
         return self.montmul(x, self._col(self.R2, x))
 

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from msm_zprize_tpu.curves.params import BLS12_377
 from msm_zprize_tpu.parallel.api import Weierstrass
+from msm_zprize_tpu.utils.sync import sync
 
 BASELINE_MS = 122.0  # reference: BLS12-377 2^16 multi-threaded WASM
 LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
@@ -44,10 +45,13 @@ def main():
     sys.stderr.write(f"[bench] random points ({N}): {time.time() - t0:.1f}s\n")
 
     def run(seed):
+        # sync() (device_get) rather than block_until_ready: the tunneled
+        # axon backend returns from block_until_ready without waiting, and
+        # the MSM result is tiny so the readback cost is the RPC roundtrip.
         scalars = curve.random_scalars(N, seed=seed)
         t0 = time.time()
         res = curve.msm_unsafe(scalars, points)
-        jax.block_until_ready(res)
+        sync(res)
         return time.time() - t0, res
 
     t0 = time.time()

@@ -19,14 +19,23 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _sync(tree):
+    """device_get a tiny reduction of each leaf: forces completion even on
+    backends where block_until_ready is a no-op (axon), without paying a
+    large-array transfer."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    jax.device_get([jnp.sum(a.ravel()[:1]) for a in leaves])
+    return tree
+
+
 def t(label, fn, *args, n=3, **kw):
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args, **kw))
+    out = _sync(fn(*args, **kw))
     compile_s = time.time() - t0
     times = []
     for _ in range(n):
         t0 = time.time()
-        out = jax.block_until_ready(fn(*args, **kw))
+        out = _sync(fn(*args, **kw))
         times.append(time.time() - t0)
     best = min(times)
     print(f"{label:42s} compile+1st {compile_s*1e3:9.1f} ms   best {best*1e3:9.1f} ms", flush=True)

@@ -273,8 +273,19 @@ class MontgomeryFp:
         formulation elsewhere (non-interleaved 3-multiplication Montgomery;
         both are vectorized analogs of the reference's deferred-carry CIOS,
         `src/wasm/multiply-montgomery.ts:31-137`).
+
+        Small batches always take the XLA path even on TPU: a Pallas call
+        pads the batch to a 4096-lane block and costs a separate kernel
+        launch, which for the ~470-deep sequential chains inside Fermat
+        inversion (1-lane operands) is pure overhead — inline HLO fuses into
+        the surrounding program instead.
         """
-        if _montmul_impl() == "pallas":
+        from .pallas_mul import BLOCK
+
+        batch_elems = 1
+        for d in jnp.broadcast_shapes(x.shape[1:], y.shape[1:]):
+            batch_elems *= d
+        if _montmul_impl() == "pallas" and batch_elems >= BLOCK // 2:
             from .pallas_mul import montmul_pallas
 
             return montmul_pallas(self, x, y)

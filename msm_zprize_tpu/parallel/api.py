@@ -195,18 +195,29 @@ class Weierstrass:
         Lt = 1 << c
         W = self.ops
         A = self.oracle_affine
+        Pc = self.oracle_projective
         bases = [A.random(rng) for _ in range(K)]
-        # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k] affine
+        # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k], built with
+        # inversion-free PROJECTIVE oracle adds (an affine oracle add costs a
+        # Python egcd inversion each — 2^c of those per row dwarf everything),
+        # then normalized in ONE device batch inversion.
         rows = []
         for b in bases:
-            row = [None]
+            bp = Pc.from_affine(b)
+            row = [Pc.zero]
             for _ in range(1, Lt):
-                row.append(A.add(row[-1], b))
+                row.append(Pc.add(row[-1], bp))
             rows.append(row)
-        table = W.pack_affine([p for row in rows for p in row])  # (n, K*Lt)
-        tx = table.x.reshape(-1, K, Lt)
-        ty = table.y.reshape(-1, K, Lt)
-        tinf = table.inf.reshape(K, Lt)
+        ptable = W.pack_projective([p for row in rows for p in row])
+        key_t = ("rpf-table", K * Lt)
+        if key_t not in self._jit_cache:
+            self._jit_cache[key_t] = jax.jit(lambda X, Y, Z: tuple(
+                W.to_affine(ProjectivePoints(X, Y, Z))
+            ))
+        tx, ty, tinf = self._jit_cache[key_t](*ptable)
+        tx = tx.reshape(-1, K, Lt)
+        ty = ty.reshape(-1, K, Lt)
+        tinf = tinf.reshape(K, Lt)
         idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
 
         key = ("rpf", K, c, N)

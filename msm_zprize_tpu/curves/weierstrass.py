@@ -52,7 +52,13 @@ def select(mask, a, b):
 
 
 class WeierstrassOps:
-    """Batched curve arithmetic for y^2 = x^3 + b, a = 0."""
+    """Batched curve arithmetic for y^2 = x^3 + b, a = 0.
+
+    Hot ops (proj_add / proj_double / proj_add_affine) dispatch to fused
+    Pallas kernels on TPU backends for large batches (one kernel per CURVE
+    op, `curves/pallas_curve.py`); elsewhere (CPU tests, tiny batches like
+    the Horner tail) they run as inline jnp field ops.
+    """
 
     def __init__(self, params: WeierstrassParams, w: int = 12):
         self.params = params
@@ -63,6 +69,34 @@ class WeierstrassOps:
         self.beta_mont = (
             params.beta * F.R % params.modulus if params.beta is not None else None
         )
+        self._kernels = None
+
+    # ---- fused-kernel dispatch -------------------------------------------
+
+    @property
+    def kernels(self):
+        if self._kernels is None:
+            from .pallas_curve import CurveKernels
+
+            b3 = 3 * self.params.b
+            self._kernels = CurveKernels(
+                self.params.modulus, self.F.w, self.F.n, self.b3_mont, b3
+            )
+        return self._kernels
+
+    @staticmethod
+    def _batch_elems(*arrs):
+        shape = jnp.broadcast_shapes(*(a.shape[1:] for a in arrs))
+        n = 1
+        for d in shape:
+            n *= d
+        return n
+
+    def _use_kernels(self, *arrs) -> bool:
+        from ..fields.fp import _montmul_impl
+        from .pallas_curve import BLOCK
+
+        return _montmul_impl() == "pallas" and self._batch_elems(*arrs) >= BLOCK // 2
 
     # ---- constructors ----------------------------------------------------
 
@@ -121,6 +155,8 @@ class WeierstrassOps:
         the odd-order subgroup (exceptional cases involve 2-torsion only),
         which is the MSM domain. Replaces dbl-1998-cmo-2
         (`curve-projective.ts:202-253`) for a branch-free SIMD formulation."""
+        if self._use_kernels(*P):
+            return ProjectivePoints(*self.kernels.proj_double(*P))
         F = self.F
         X1, Y1, Z1 = P
         b3 = self._const(self.b3_mont, X1)
@@ -144,11 +180,18 @@ class WeierstrassOps:
         X3 = F.add(X3, X3)
         return ProjectivePoints(X3, Y3, Z3)
 
-    def proj_add(self, P: ProjectivePoints, Q: ProjectivePoints) -> ProjectivePoints:
+    def proj_add(
+        self, P: ProjectivePoints, Q: ProjectivePoints, mask=None
+    ) -> ProjectivePoints:
         """Complete add, Renes-Costello-Batina Alg. 7 (a = 0): 12 muls,
         fully branchless — identity, doubling, and cancellation all flow
         through the same code path (no masks, no is_zero checks). Replaces
-        the masked add-1998-cmo-2 (`curve-projective.ts:51-160`)."""
+        the masked add-1998-cmo-2 (`curve-projective.ts:51-160`).
+
+        With ``mask`` (per-lane bool), lanes where mask==0 return P
+        unchanged (folded into the fused kernel on TPU)."""
+        if self._use_kernels(*P, *Q):
+            return ProjectivePoints(*self.kernels.proj_add(*P, *Q, mask=mask))
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -186,7 +229,10 @@ class WeierstrassOps:
         t0 = F.montmul(t0, t3)
         Z3 = F.montmul(Z3, t4)
         Z3 = F.add(Z3, t0)
-        return ProjectivePoints(X3, Y3, Z3)
+        out = ProjectivePoints(X3, Y3, Z3)
+        if mask is not None:
+            out = select(mask, out, P)
+        return out
 
     def proj_sub(self, P, Q):
         return self.proj_add(P, self.proj_neg(Q))
@@ -195,6 +241,10 @@ class WeierstrassOps:
         """Complete mixed add, Renes-Costello-Batina Alg. 8 (a = 0, Z2 = 1):
         11 muls branchless in P; the only mask is Q = infinity (affine points
         carry an explicit flag). Replaces the masked mixed add."""
+        if self._use_kernels(*P, Q.x, Q.y):
+            return ProjectivePoints(
+                *self.kernels.proj_add_mixed(*P, Q.x, Q.y, Q.inf)
+            )
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2 = Q.x, Q.y

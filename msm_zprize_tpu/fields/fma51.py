@@ -243,3 +243,138 @@ class Fma51Field:
 @lru_cache(maxsize=None)
 def make_fma51_field(p: int) -> Fma51Field:
     return Fma51Field(p)
+
+
+# ---- exact float64-FMA algebra model ----------------------------------------
+#
+# The reference's headline 51x5 multiply uses f64 FMA to form exact 102-bit
+# partial products: hi = fma(x, y, 2^103) captures the high 51 product bits
+# in the mantissa (rounding at ulp 2^51), lo = fma(x, y, c2 - hi) recovers
+# the low bits exactly, and reinterpreting the raw float bits as int64 turns
+# both into integers once constant exponent prefixes are subtracted — the
+# zInitial table pre-subtracts all prefixes per accumulator column
+# (`src/51x5/fma.ts:58-63, 226-317`; JS model `fma-js.ts:141-193`). TPU has
+# no fast f64 FMA, so this framework executes the 26/25-split int64 algebra
+# above in production; this model preserves the FLOAT algebra bit-exactly
+# (fma emulated with integer round-to-nearest-even — the reference's own JS
+# model must emulate fma as well, JS having no fma operator) as the parity
+# artifact + oracle for any future f64-capable backend.
+
+import struct as _struct
+
+_C103 = 1 << 103
+_C51X3 = 3 << 51
+_C2 = _C103 + _C51X3
+_C52 = 1 << 52
+_MASK64 = (1 << 64) - 1
+
+
+def _f64_bits(x: float) -> int:
+    return int.from_bytes(_struct.pack("<d", x), "little")
+
+
+def _bits_f64(b: int) -> float:
+    return _struct.unpack("<d", (b & _MASK64).to_bytes(8, "little"))[0]
+
+
+_HI_PRE = _f64_bits(float(_C103))
+_LO_PRE = _f64_bits(float(_C51X3))
+_C52N = _f64_bits(float(_C52))
+_C51N = _f64_bits(float(_C52))  # c51 == c52 in the reference (common.ts:40-41)
+
+
+def _fma_rn(a: int, b: int, c: int) -> int:
+    """Exact IEEE-754 fma(a, b, c) for integer-valued float64 operands,
+    emulated with integer round-to-nearest-even: the exact integer a*b + c
+    rounded to the nearest representable float64 (returned as an int —
+    every value in this algebra is an integer multiple of its ulp)."""
+    v = a * b + c
+    if v == 0:
+        return 0
+    sign = -1 if v < 0 else 1
+    m = abs(v)
+    ulp_bits = m.bit_length() - 53
+    if ulp_bits <= 0:
+        return v
+    ulp = 1 << ulp_bits
+    base, rem = divmod(m, ulp)
+    if rem > ulp // 2 or (rem == ulp // 2 and base & 1):
+        base += 1
+    return sign * base * (1 << ulp_bits) if base.bit_length() <= 53 else (
+        sign * (base >> 1) * (1 << (ulp_bits + 1))
+    )
+
+
+def _to_float51(x: int) -> list[int]:
+    return [(x >> (W * i)) & MASK51 for i in range(N)]
+
+
+def montmul_fma_model(p: int, x: int, y: int) -> int:
+    """Bit-exact model of the reference's f64-FMA Montgomery multiply
+    (`fma-js.ts:141-193` montmulFma): returns x*y*2^-255 mod p computed
+    with the float algebra, output in [0, 2p).
+
+    All float values here are integers, so ints stand in for f64 values;
+    the bit-reinterpretation steps use real IEEE-754 encoding."""
+    assert p < (1 << 255) - (1 << 206)
+    X = _to_float51(x)
+    Y = _to_float51(y)
+    PF = _to_float51(p)
+    p_inv = (-pow(p, -1, 1 << W)) % (1 << W)  # pInv = -p^-1 mod 2^51... see note
+    # NOTE: the reference multiplies Z0 * pInv with pInv = p^-1? It needs
+    # q = Z0 * (-p^-1) so that Z0 + q*p == 0 mod 2^51; mu below matches.
+    mu = p_inv
+
+    lo_count = [1, 2, 3, 4, 5, 4, 3, 2, 1, 0]
+    hi_count = [0, 1, 2, 3, 4, 5, 4, 3, 2, 1]
+    z_init = [
+        (-(2 * (hi_count[i] * _HI_PRE + lo_count[i] * _LO_PRE)) & _MASK64)
+        for i in range(10)
+    ]
+    # interpret as signed int64
+    def s64(v):
+        v &= _MASK64
+        return v - (1 << 64) if v >> 63 else v
+
+    zi = [s64(z) for z in z_init]
+    Z = [zi[i] for i in range(5)]
+
+    def f2i(f: int) -> int:
+        return s64(_f64_bits(float(f)))
+
+    for i in range(5):
+        xi = X[i]
+        yj = Y[0]
+        hi1 = _fma_rn(xi, yj, _C103)
+        lo1 = _fma_rn(xi, yj, _C2 - hi1)
+        Z[0] = s64(Z[0] + f2i(lo1))  # BigInt64Array stores wrap mod 2^64
+
+        q_bits = ((Z[0] * mu) & MASK51) + _C51N
+        qi = int(_bits_f64(q_bits) - _C52)
+
+        hi2 = _fma_rn(qi, PF[0], _C103)
+        lo2 = _fma_rn(qi, PF[0], _C2 - hi2)
+        carry = f2i(hi1) + f2i(hi2) + (s64(Z[0] + f2i(lo2)) >> W)
+
+        for j in range(1, 5):
+            yj = Y[j]
+            pj = PF[j]
+            hi1 = _fma_rn(xi, yj, _C103)
+            hi2 = _fma_rn(qi, pj, _C103)
+            lo1 = _fma_rn(xi, yj, _C2 - hi1)
+            lo2 = _fma_rn(qi, pj, _C2 - hi2)
+            Z[j - 1] = s64(Z[j] + carry + f2i(lo1) + f2i(lo2))
+            carry = f2i(hi1) + f2i(hi2)
+        Z[4] = s64(zi[5 + i] + carry)
+    assert Z[4] >= 0, f"negative top limb {Z[4]}"
+
+    carry = 0
+    out = 0
+    for i in range(5):
+        lo = (Z[i] + carry) & MASK51
+        limb = int(_bits_f64(lo + _C52N) - _C52)
+        assert limb >= 0
+        out |= limb << (W * i)
+        carry = Z[i] >> W
+    assert carry == 0, f"carry {carry}"
+    return out

@@ -77,12 +77,25 @@ def _polymul(x, y):
 
 
 def _polymul_const(x, const: np.ndarray):
-    """(nx, B) x constant (m,) -> (nx+m-1, B) columns, as ONE int32 matmul
-    with the banded convolution matrix A[k, i] = const[k - i]: a single HLO
-    op (the unrolled pad-accumulate compiles ~10x slower on XLA:CPU)."""
+    """(nx, B) x constant (m,) -> (nx+m-1, B) columns.
+
+    Backend-dependent lowering: ONE int32 matmul with the banded convolution
+    matrix A[k, i] = const[k - i] on CPU (the unrolled pad-accumulate
+    compiles ~10x slower on XLA:CPU), but unrolled scalar-constant
+    multiply-adds on TPU — a single int32 dot takes ~30 s to COMPILE on the
+    TPU backend (measured v5e: 28.5 s vs 0.8 s for the unrolled form), and
+    zero limbs of the constant are skipped entirely."""
     nx, B = x.shape
     m = const.shape[0]
     cols = nx + m - 1
+    if jax.default_backend() != "cpu":
+        T = jnp.zeros((cols, B), dtype=DTYPE)
+        for j in range(m):
+            cj = int(const[j])
+            if cj == 0:
+                continue
+            T = T + jnp.pad(x * cj, ((j, cols - nx - j), (0, 0)))
+        return T
     A = np.zeros((cols, nx), dtype=np.int32)
     for i in range(nx):
         A[i : i + m, i] = const
@@ -208,7 +221,10 @@ class MontgomeryFp:
         return out
 
     def neg(self, x):
-        """2p - x in [0, 2p]."""
+        """2p - x in [0, 2p] for x in [0, 2p) ONLY — downstream sub /
+        sub_positive assume operands < 2p. Values in the fused kernels'
+        wider [0, 4p) storage form must be negated in-kernel
+        (`pallas_field.f_neg`, bound-tracked), not here."""
         tp = jnp.asarray(self.two_p_limbs).reshape((self.n,) + (1,) * (x.ndim - 1))
         out, _ = _scan_carry(tp - x, self.w)
         return out
@@ -216,23 +232,30 @@ class MontgomeryFp:
     def cneg(self, x, flag):
         return jnp.where(flag, self.neg(x), x)
 
+    def canon(self, x):
+        """Canonicalize limbs to [0, 2^w) (value unchanged; value must be in
+        [0, R), which all contracts guarantee). Needed before limbwise
+        comparisons when inputs may be in the fused kernels' relaxed form."""
+        out, _ = _scan_carry(x, self.w)
+        return out
+
     def reduce(self, x):
         """[0, 2p) -> [0, p): one conditional subtract (`field-arithmetic.ts:142`)."""
-        return self._sub_const_select(x, self.p_limbs)
+        return self._sub_const_select(self.canon(x), self.p_limbs)
 
     def fully_reduce(self, x):
         """[0, 4p) -> [0, p)."""
-        r = self._sub_const_select(x, self.two_p_limbs)
+        r = self._sub_const_select(self.canon(x), self.two_p_limbs)
         return self._sub_const_select(r, self.p_limbs)
 
     # ---- predicates ------------------------------------------------------
 
     def is_zero(self, x):
-        r = self.reduce(x)
+        r = self.fully_reduce(x)
         return jnp.all(r == 0, axis=0)
 
     def is_equal(self, x, y):
-        return jnp.all(self.reduce(x) == self.reduce(y), axis=0)
+        return jnp.all(self.fully_reduce(x) == self.fully_reduce(y), axis=0)
 
     # ---- Montgomery multiply --------------------------------------------
 

@@ -126,8 +126,7 @@ def accumulate_glv_projective(
         return ProjectivePoints(P.X, W.F.cneg(P.Y, flag), P.Z)
 
     def pair_add(P0, P1, has_partner, valid):
-        summed = W.proj_add(P0, P1)
-        return engine._select(has_partner, summed, P0)
+        return W.proj_add(P0, P1, mask=has_partner)
 
     def zero_like(K_, L_):
         F = W.F

@@ -87,11 +87,30 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
     n_levels = max((B - 1).bit_length(), 0)
     # static width schedule: a geometrically-shrinking prefix (unrolled),
     # then a constant-width plateau expressed as ONE lax.scan — the scan
-    # keeps the trace (and XLA compile time) at O(prefix + 1) level bodies
-    # instead of O(log B)
+    # keeps the trace (and XLA compile time) at O(prefix + 1) level bodies.
+    # Widths are QUANTIZED to powers of two: every distinct width is a
+    # distinct pallas_call shape, i.e. a distinct Mosaic kernel compile, so
+    # an exact schedule (B, (B+L)/2+1, ...) would cost ~log2(B) compiles per
+    # kernel; power-of-two rounding caps that at log2(B/plateau) shapes that
+    # are also shared across window counts and MSM sizes.
+    plateau_w = 2 * L  # smallest grid w with (w+L)//2+1 <= w (L is pow2)
+
+    def _quant(x: int) -> int:
+        # half-octave grid {2^k, 3*2^(k-1)}: pure powers of two cannot make
+        # progress (need' ~ w/2 + L/2 rounds back up to w), the half-octave
+        # point can — so each level shrinks and ~2 shapes exist per octave
+        k = max(x - 1, 1).bit_length()  # 2^k >= x > 2^(k-1)
+        if k >= 2 and x <= (3 << (k - 2)):  # 0.75 * 2^k
+            cand = 3 << (k - 2)
+        else:
+            cand = 1 << k
+        return max(cand, plateau_w)
+
     widths = [B]
+    need = B
     for _ in range(n_levels):
-        widths.append(min(widths[-1], (widths[-1] + L) // 2 + 1))
+        need = min(need, (need + L) // 2 + 1)
+        widths.append(min(_quant(need), widths[-1]))
     n_prefix = n_levels
     for l in range(n_levels):
         if widths[l + 1] == widths[l]:

@@ -34,9 +34,16 @@ import os as _os
 
 def _default_mode() -> str:
     """Flagship accumulation mode: "affine" (batched-affine + shared batch
-    inversion, the reference's economy) or "projective" (complete adds, no
-    inversions). Overridable via MSM_TPU_MODE for benchmarking."""
-    return _os.environ.get("MSM_TPU_MODE", "affine")
+    inversion, the reference's CPU economy, `doc/zprize22.md:338-341`) or
+    "projective" (complete 12-mul adds via fused Pallas kernels, zero
+    inversions). On TPU backends projective wins: the batch inversion's
+    ~400-deep sequential multiply chain per halving level is pure latency,
+    while the complete adds run at VPU throughput. Overridable via
+    MSM_TPU_MODE for benchmarking."""
+    env = _os.environ.get("MSM_TPU_MODE")
+    if env:
+        return env
+    return "projective" if jax.default_backend() in ("tpu", "axon") else "affine"
 
 
 class Weierstrass:
@@ -198,26 +205,21 @@ class Weierstrass:
         Pc = self.oracle_projective
         bases = [A.random(rng) for _ in range(K)]
         # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k], built with
-        # inversion-free PROJECTIVE oracle adds (an affine oracle add costs a
-        # Python egcd inversion each — 2^c of those per row dwarf everything),
-        # then normalized in ONE device batch inversion.
+        # batch-inverted AFFINE oracle adds per row (one Python pow-inverse
+        # per chain step is ~µs; building the table affine host-side means
+        # the device program is ONLY gather + K-way mixed add + one batch
+        # normalization — no separate table-normalize program to compile).
         rows = []
         for b in bases:
-            bp = Pc.from_affine(b)
-            row = [Pc.zero]
+            row = [None]
             for _ in range(1, Lt):
-                row.append(Pc.add(row[-1], bp))
+                row.append(A.add(row[-1], b))
             rows.append(row)
-        ptable = W.pack_projective([p for row in rows for p in row])
-        key_t = ("rpf-table", K * Lt)
-        if key_t not in self._jit_cache:
-            self._jit_cache[key_t] = jax.jit(lambda X, Y, Z: tuple(
-                W.to_affine(ProjectivePoints(X, Y, Z))
-            ))
-        tx, ty, tinf = self._jit_cache[key_t](*ptable)
-        tx = tx.reshape(-1, K, Lt)
-        ty = ty.reshape(-1, K, Lt)
-        tinf = tinf.reshape(K, Lt)
+        flat = [p for row in rows for p in row]
+        at = W.pack_affine(flat)
+        tx = at.x.reshape(-1, K, Lt)
+        ty = at.y.reshape(-1, K, Lt)
+        tinf = at.inf.reshape(K, Lt)
         idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
 
         key = ("rpf", K, c, N)

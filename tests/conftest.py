@@ -20,12 +20,34 @@ if "xla_backend_optimization_level" not in flags:
     flags = flags + " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = flags
 
+import hashlib
+import platform
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the scan-heavy inverse kernels are expensive to
-# compile on CPU; cache them across pytest runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_msm")
+# compile on CPU; cache them across pytest runs. The dir is fingerprinted by
+# the host CPU: XLA:CPU AOT results compiled on a machine with different CPU
+# features SIGSEGV/SIGILL when loaded (observed: a cache written on an
+# avx512 host with +prefer-no-scatter crashed test_msm_flagship_sharded on
+# this host).
+def _cpu_fingerprint() -> str:
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        flags = platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_cache_msm_{_cpu_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random
@@ -36,3 +58,18 @@ import pytest
 @pytest.fixture
 def rng():
     return random.Random(0xC0FFEE)
+
+
+@pytest.fixture
+def no_compile_cache():
+    """Disable persistent compile-cache WRITES for one test.
+
+    XLA:CPU crashes (SIGSEGV/SIGABRT) while SERIALIZING some multi-device
+    executables for the persistent cache (jax compilation_cache
+    put_executable_and_time) — observed on the 8-device sharded MSM
+    programs. `jax_enable_compilation_cache` cannot be toggled mid-session
+    (is_cache_used is memoized), but the min-compile-time threshold is read
+    dynamically at write time — raise it so nothing qualifies."""
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -83,7 +83,7 @@ def test_msm_edwards(ed, rng):
     assert ed.msm_bigint(scs, [Ec.to_affine(p) for p in pts]) == want
 
 
-def test_msm_flagship_sharded(bls, rng):
+def test_msm_flagship_sharded(bls, rng, no_compile_cache):
     from msm_zprize_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh()
@@ -95,7 +95,7 @@ def test_msm_flagship_sharded(bls, rng):
     assert bls.result_to_int(res) == want
 
 
-def test_msm_edwards_sharded(ed, rng):
+def test_msm_edwards_sharded(ed, rng, no_compile_cache):
     from msm_zprize_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh()

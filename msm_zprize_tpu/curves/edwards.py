@@ -35,6 +35,25 @@ class EdwardsOps:
         self.F: MontgomeryFp = make_field(params.modulus, w)
         F = self.F
         self.k_mont = 2 * params.d * F.R % params.modulus  # k = 2d
+        self._kernels = None
+
+    @property
+    def kernels(self):
+        if self._kernels is None:
+            from .pallas_curve import EdwardsKernels
+
+            self._kernels = EdwardsKernels(
+                self.params.modulus, self.F.w, self.F.n, self.k_mont
+            )
+        return self._kernels
+
+    def _use_kernels(self) -> bool:
+        """On TPU, always run the unified add as a fused Pallas kernel (one
+        custom call) instead of ~4k inline HLO ops — see
+        `weierstrass.WeierstrassOps._use_kernels` for the rationale."""
+        from ..fields.fp import _montmul_impl
+
+        return _montmul_impl() == "pallas"
 
     def _const(self, mont_value: int, ref):
         c = np.array(self.F.scheme.to_limbs(mont_value), dtype=np.int32)
@@ -64,10 +83,13 @@ class EdwardsOps:
         F = self.F
         return ExtPoints(F.cneg(P.X, flag), P.Y, P.Z, F.cneg(P.T, flag))
 
-    def add(self, P: ExtPoints, Q: ExtPoints) -> ExtPoints:
+    def add(self, P: ExtPoints, Q: ExtPoints, mask=None) -> ExtPoints:
         """Strongly-unified add-2008-hwcd-3, k = 2d: 8M + 1 const-M, no
         branches, valid for doubling and identities
-        (`curve-twisted-edwards.ts:84-165`)."""
+        (`curve-twisted-edwards.ts:84-165`). With ``mask``, lanes where
+        mask==0 return P unchanged (folded into the fused kernel on TPU)."""
+        if self._use_kernels():
+            return ExtPoints(*self.kernels.ed_add(*P, *Q, mask=mask))
         F = self.F
         A = F.montmul(F.sub_positive(P.Y, P.X), F.sub_positive(Q.Y, Q.X))
         B_ = F.montmul(F.add(P.Y, P.X), F.add(Q.Y, Q.X))
@@ -79,14 +101,20 @@ class EdwardsOps:
         Fc = F.sub(D, C)
         G = F.add(D, C)
         H = F.add(B_, A)
-        return ExtPoints(
+        out = ExtPoints(
             F.montmul(E, Fc), F.montmul(G, H), F.montmul(Fc, G), F.montmul(E, H)
         )
+        if mask is not None:
+            out = ExtPoints(*(jnp.where(mask, o, a) for o, a in zip(out, P)))
+        return out
 
     def add_mixed(self, P: ExtPoints, Q: ExtPoints) -> ExtPoints:
         """Mixed add assuming Q.Z == 1 (normalized table/base points):
         saves the Z1*Z2 multiplication (`curve-twisted-edwards.ts` mixed
-        variant)."""
+        variant). On TPU the full fused-kernel add is used instead (the
+        one extra multiply is cheaper than an inline HLO formula)."""
+        if self._use_kernels():
+            return ExtPoints(*self.kernels.ed_add(*P, *Q))
         F = self.F
         A = F.montmul(F.sub_positive(P.Y, P.X), F.sub_positive(Q.Y, Q.X))
         B_ = F.montmul(F.add(P.Y, P.X), F.add(Q.Y, Q.X))

@@ -52,7 +52,7 @@ _SMALL_3B_LIMIT = 1 << 8  # use limbwise small-mul for 3b below this
 
 
 def _read(ctx: FieldCtx, ref) -> FV:
-    return pf.fv_stored(ctx, [ref[i] for i in range(ctx.n)])
+    return pf.fv_stored(ctx, ref[...])
 
 
 def _write(ctx: FieldCtx, ref, x: FV):
@@ -60,8 +60,7 @@ def _write(ctx: FieldCtx, ref, x: FV):
     assert x.vmax < pf.STORE_VMAX_P * ctx.p, (
         f"storage value bound violated: {x.vmax / ctx.p}"
     )
-    for i, v in enumerate(x.limbs):
-        ref[i] = v
+    ref[...] = x.arr
 
 
 def _pad_flat(arrs, n_limbs, block):

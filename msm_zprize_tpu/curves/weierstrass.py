@@ -93,10 +93,14 @@ class WeierstrassOps:
         return n
 
     def _use_kernels(self, *arrs) -> bool:
+        """On TPU, ALWAYS dispatch curve ops to the fused kernels — even for
+        tiny batches (one padded block). An inline jnp curve op traces ~4k
+        HLO ops; a handful of unrolled ones (bucket-reduction tree, Horner)
+        made whole-MSM XLA compiles take tens of minutes, while the fused
+        kernel is one custom call with an already-compiled Mosaic body."""
         from ..fields.fp import _montmul_impl
-        from .pallas_curve import BLOCK
 
-        return _montmul_impl() == "pallas" and self._batch_elems(*arrs) >= BLOCK // 2
+        return _montmul_impl() == "pallas"
 
     # ---- constructors ----------------------------------------------------
 

@@ -32,16 +32,13 @@ def _ctx(p):
 
 
 def _to_fv(ctx, F, vals, mont=True):
-    arr = F.pack(vals, montgomery=mont)
-    return pf.FV(
-        tuple(jnp.asarray(arr[i]) for i in range(ctx.n)),
-        (0,) * ctx.n, (ctx.mask,) * ctx.n, 0, ctx.p - 1,
-    )
+    arr = jnp.asarray(F.pack(vals, montgomery=mont))
+    return pf.FV(arr, 0, ctx.mask, 0, ctx.mask, ctx.p - 1)
 
 
 def _from_fv(ctx, fv, mont=True):
-    limbs = [np.asarray(l).astype(object) for l in fv.limbs]
-    vals = sum(l << (ctx.w * i) for i, l in enumerate(limbs))
+    a = np.asarray(fv.arr).astype(object)
+    vals = sum(a[i] << (ctx.w * i) for i in range(ctx.n))
     r = pow(ctx.R, -1, ctx.p) if mont else 1
     return [int(v) * r % ctx.p for v in vals]
 
@@ -75,7 +72,7 @@ def test_fv_field_ops(name, rng):
     assert bool(jnp.all(pf.f_is_zero(ctx, zero)))
     assert bool(jnp.all(pf.f_is_equal(ctx, pf.f_add(ctx, X, zero), X)))
     can = pf.f_canonical(ctx, pf.f_add(ctx, pf.f_small(ctx, X, 5), Y))
-    assert all(h <= ctx.mask for h in can.hi)
+    assert can.hi <= ctx.mask and can.top_hi <= ctx.mask
     assert _from_fv(ctx, can) == [(5 * x + y) % p for x, y in zip(xs, ys)]
 
 
@@ -159,7 +156,7 @@ def test_pallas_call_interpret_small_field(rng):
     mul_b3 = lambda x: pf.f_small(ctx, x, b3)
     eager = pc.rcb7(ctx, mul_b3, *fvs)
     for k in range(3):
-        got_vals = _from_fv(ctx, pf.fv_stored(ctx, list(got[k])))
+        got_vals = _from_fv(ctx, pf.fv_stored(ctx, got[k]))
         want = _from_fv(ctx, eager[k])
         for i in range(B):
             expect = want[i] if int(mask[i]) else vals[k][i]

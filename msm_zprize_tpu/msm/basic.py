@@ -71,7 +71,7 @@ def msm_basic_projective(
 
     acc = _ProjAcc(W)
 
-    def cneg(P, flag):
+    def prepare(P, flag):
         return ProjectivePoints(P.X, W.F.cneg(P.Y, flag), P.Z)
 
     def pair_add(P0, P1, has_partner, valid):
@@ -82,7 +82,7 @@ def msm_basic_projective(
         return acc.zero(K_, L_)
 
     sums, empty = engine.accumulate_buckets(
-        points, mags, signs, L, pair_add, cneg, zero_like
+        points, mags, signs, L, pair_add, prepare, zero_like
     )
     c0 = max((c - 1) // 2, 1)
     per_window = engine.reduce_buckets(sums, empty, c0, acc)

@@ -10,6 +10,7 @@ deterministic, static-shaped, and sort-free after the first step.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -49,14 +50,20 @@ def default_windows(scalar_bits: int, c: int) -> int:
 
 
 def sort_by_bucket(digits):
-    """Stable argsort of digit rows.
+    """Sort digit rows, carrying the permutation as a payload.
 
-    digits: (K, B) int32 bucket ids (0 = skip). Returns (order, sorted_digits)
-    both (K, B). The sort is the only O(B log B) data movement per window —
-    the analog of the reference's counting sort (`msm-batched-affine.ts:444`).
+    digits: (K, B) int32 bucket ids. Returns (order, sorted_digits) both
+    (K, B). ONE `lax.sort` produces both (key = id, payload = position) —
+    cheaper than argsort + a batched take_along_axis re-gather, and the only
+    O(B log B) data movement per window (the analog of the reference's
+    counting sort, `msm-batched-affine.ts:444`). Unstable: bucket contents
+    may pair in any order, which curve addition doesn't care about.
     """
-    order = jnp.argsort(digits, axis=-1, stable=True)
-    sorted_digits = jnp.take_along_axis(digits, order, axis=-1)
+    K, B = digits.shape
+    iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (K, B))
+    sorted_digits, order = jax.lax.sort(
+        [digits, iota], dimension=1, num_keys=1, is_stable=False
+    )
     return order, sorted_digits
 
 
@@ -75,29 +82,59 @@ def bucket_counts(sorted_digits, n_buckets: int):
     ].add(ones)
 
 
-def halving_layout(counts, width: int):
-    """Compute the compacted layout for one pair-halving level.
+def _fill_runs(vals, starts, width: int, kind: str):
+    """Run-length fill: output slot s of row k gets vals[k, b] where b is the
+    bucket owning slot s, i.e. b = max{l : starts[k, l] <= s}.
 
-    counts: (K, L1) current per-bucket element counts (bucket 0 row included
-    but always zero there — bucket 0 digits are parked in a sentinel).
-    width: static output width (>= max possible sum of ceil(counts/2)).
+    Works by scattering vals at their run-start positions and completing
+    with a cumulative min/max along the row — valid when vals are
+    monotonically non-increasing ("min") or non-decreasing ("max") in l,
+    which makes the owner's value the extremum among colliding run starts
+    (empty runs share a start with their successor). Pure vector ops: no
+    batched gathers, no searchsorted (XLA:TPU lowers those to slow
+    per-element loops — measured 175x slower than this formulation).
+    """
+    K, L1 = vals.shape
+    rows = jnp.arange(K, dtype=jnp.int32)[:, None]
+    pos = jnp.minimum(starts, width - 1)
+    if kind == "min":
+        big = jnp.int32(2**31 - 1)
+        vals = jnp.where(starts < width, vals, big)
+        grid = jnp.full((K, width), big, dtype=jnp.int32)
+        grid = grid.at[rows, pos].min(vals)
+        return jax.lax.cummin(grid, axis=1)
+    vals = jnp.where(starts < width, vals, jnp.int32(-1))
+    grid = jnp.full((K, width), -1, dtype=jnp.int32)
+    grid = grid.at[rows, pos].max(vals)
+    return jax.lax.cummax(grid, axis=1)
 
-    Returns (bucket_of_slot, rank_of_slot, valid_slot): each (K, width):
-    slot s of the *next* level holds the pair-sum of ranks (2j, 2j+1) of its
-    bucket at the *current* level, where j = rank_of_slot.
+
+def halving_layout(counts, width: int, cur_width: int):
+    """Pair positions for one compacted halving level.
+
+    counts: (K, L1) current per-bucket element counts over the current
+    level's packed array (bucket b occupies rows [cur_off[b], cur_off[b] +
+    counts[b])). width: static output width (>= max Σ ceil(counts/2)).
+
+    Slot s of the next level holds the pair-sum of current positions
+    (pos0, pos0+1) of its owning bucket. Returns (pos0, has_partner, valid,
+    next_counts); all position math is derived with run-length fills:
+
+        pos0[s]  = cur_off[b] + 2*(s - next_off[b]) = 2s + adj[b],
+                   adj = cur_off - 2*next_off   (non-increasing -> min-fill)
+        partner  = pos0+1 < end[b],  end = cur_off + counts
+                   (non-decreasing -> max-fill)
     """
     K, L1 = counts.shape
     next_counts = (counts + 1) >> 1  # ceil(c/2)
-    offsets = jnp.cumsum(next_counts, axis=-1) - next_counts  # exclusive prefix
-    totals = offsets[:, -1] + next_counts[:, -1]
+    next_off = jnp.cumsum(next_counts, axis=-1) - next_counts
+    cur_off = jnp.cumsum(counts, axis=-1) - counts
+    totals = next_off[:, -1] + next_counts[:, -1]
     slots = jnp.arange(width, dtype=jnp.int32)[None, :]  # (1, width)
-    # bucket_of_slot via searchsorted on each row's offsets
-    import jax
-
-    bucket = jax.vmap(
-        lambda off, s: jnp.searchsorted(off, s, side="right") - 1
-    )(offsets, jnp.broadcast_to(slots, (K, width)))
-    bucket = jnp.clip(bucket, 0, L1 - 1).astype(jnp.int32)
-    rank = slots - jnp.take_along_axis(offsets, bucket, axis=-1)
+    adj = _fill_runs(cur_off - 2 * next_off, next_off, width, "min")
+    end = _fill_runs(cur_off + counts, next_off, width, "max")
+    pos0 = 2 * slots + adj
     valid = slots < totals[:, None]
-    return bucket, rank.astype(jnp.int32), valid, next_counts
+    has_partner = (pos0 + 1 < end) & valid
+    pos0 = jnp.clip(pos0, 0, cur_width - 1)
+    return pos0, has_partner, valid, next_counts

@@ -28,23 +28,44 @@ from .common import bucket_counts, halving_layout, sort_by_bucket
 __all__ = ["accumulate_buckets", "reduce_buckets", "horner", "msm_pipeline"]
 
 
-def _take(pts, idx):
-    return type(pts)(*(jnp.take(a, idx, axis=-1) for a in pts))
+def _take_flat(pts, flat_idx):
+    """Gather point leaves (..., W) by a FLAT 1-D index vector.
+
+    The one gather shape XLA:TPU executes at memory speed; every other
+    formulation tried (batched take_along_axis, searchsorted, dyn-slice
+    scans) lowers to per-element loops 100x+ slower (scripts/gather_bench*).
+    """
+    return type(pts)(*(jnp.take(a, flat_idx, axis=-1) for a in pts))
 
 
-def _take2(pts, idx):
-    """Gather along the last axis of (.., K, W) leaves with (K, W') indices."""
-    out = []
+def _stack(pts):
+    """Concatenate a point pytree's leaves ((n_i, W) or (W,)) into ONE
+    (R, W) array. A gather's cost scales with its index count, not its row
+    count, so moving all coordinates as one array amortizes the per-index
+    overhead across the whole point. Returns (stacked, row_splits, type)."""
+    leaves = [a if a.ndim == 2 else a[None] for a in pts]
+    splits, shapes = [], []
+    off = 0
     for a in pts:
-        out.append(jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape[:-1] + idx.shape[-1:]), axis=-1))
-    return type(pts)(*out)
+        r = a.shape[0] if a.ndim == 2 else 1
+        splits.append((off, off + r, a.ndim))
+        off += r
+    return jnp.concatenate(leaves, axis=0), tuple(splits), type(pts)
+
+
+def _unstack(arr, splits, pt_type):
+    out = []
+    for lo, hi, ndim in splits:
+        a = arr[lo:hi]
+        out.append(a if ndim == 2 else a[0])
+    return pt_type(*out)
 
 
 def _select(mask, a, b):
     return type(a)(*(jnp.where(mask, fa, fb) for fa, fb in zip(a, b)))
 
 
-def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like):
+def accumulate_buckets(points, digits, signs, L: int, pair_add, prepare, zero_like):
     """Accumulate signed points into per-window buckets.
 
     points:  point pytree with leaves (..., B) — the base points
@@ -53,8 +74,13 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
     L:       number of buckets (weights 1..L)
     pair_add(P0, P1, has_partner, valid) -> point pytree: adds lanes where
         has_partner&valid, passes P0 through where not
-    cneg(P, flag): conditional negation
+    prepare(P, flag): applied once after the initial gather — conditional
+        negation plus any representation change (e.g. affine -> projective),
+        done post-gather so the gather moves the narrowest form
     zero_like(K, L): (K, L)-batched identity points
+
+    Point leaves are kept FLAT (..., K*W) throughout — every per-level
+    pairing is ONE flat gather per operand (see _take_flat).
 
     Returns bucket sums as a point pytree with leaves (..., K, L) plus an
     ``empty`` mask (K, L) marking buckets that received no points.
@@ -64,23 +90,35 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
     ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
     order, sorted_ids = sort_by_bucket(ids)
     counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L), sentinel dropped
+    rows = jnp.arange(K, dtype=jnp.int32)[:, None]
 
-    # initial level: points gathered in sorted order with signs applied
-    sorted_signs = jnp.take_along_axis(signs, order, axis=-1)
-    P = _take(points, order)  # leaves (..., K, B)
-    P = cneg(P, sorted_signs)
+    # initial level: ALL point leaves stacked into one (R, B) array so the
+    # big reorder is ONE flat gather (a gather's cost is dominated by the
+    # index count, not the row count — stacking amortizes it across every
+    # coordinate); signs are per-window so their flat index needs the row
+    # offset. prepare() (sign application / representation change) runs
+    # post-gather on the unstacked leaves.
+    stacked, splits, pt_type = _stack(points)
+    g = jnp.take(stacked, order.reshape(-1), axis=-1)  # (R, K*B)
+    sorted_signs = jnp.take(signs.reshape(-1), (order + rows * B).reshape(-1))
+    P = prepare(_unstack(g, splits, pt_type), sorted_signs)
+    P, splits, pt_type = _stack(P)  # leaves may have changed shape/count
 
     def one_level(P, cur_counts, width, next_width):
-        offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
-        bucket, rank, valid, next_counts = halving_layout(cur_counts, next_width)
-        base = jnp.take_along_axis(offsets, bucket, axis=-1)
-        cnt = jnp.take_along_axis(cur_counts, bucket, axis=-1)
-        pos0 = jnp.clip(base + 2 * rank, 0, width - 1)
-        pos1 = jnp.clip(base + 2 * rank + 1, 0, width - 1)
-        has_partner = (2 * rank + 1 < cnt) & valid
-        P0 = _take2(P, pos0)
-        P1 = _take2(P, pos1)
-        return pair_add(P0, P1, has_partner, valid), next_counts
+        pos0, has_partner, valid, next_counts = halving_layout(
+            cur_counts, next_width, width
+        )
+        flat0 = (pos0 + rows * width).reshape(-1)
+        flat1 = (jnp.minimum(pos0 + 1, width - 1) + rows * width).reshape(-1)
+        P0 = jnp.take(P, flat0, axis=-1)
+        P1 = jnp.take(P, flat1, axis=-1)
+        out = pair_add(
+            _unstack(P0, splits, pt_type),
+            _unstack(P1, splits, pt_type),
+            has_partner.reshape(-1),
+            valid.reshape(-1),
+        )
+        return _stack(out)[0], next_counts
 
     # exactly ceil(log2(B)) halving levels guarantee every count reaches <= 1
     # (width alone can plateau at L+1 while one bucket still holds many)
@@ -125,22 +163,21 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, cneg, zero_like)
 
     n_plateau = n_levels - n_prefix
     if n_plateau > 0:
-        pt_type = type(P)
 
         def body(carry, _):
-            leaves, cur_counts = carry
-            Pn, next_counts = one_level(pt_type(*leaves), cur_counts, width, width)
-            return (tuple(Pn), next_counts), None
+            Pc, cur_counts = carry
+            Pn, next_counts = one_level(Pc, cur_counts, width, width)
+            return (Pn, next_counts), None
 
-        (leaves, cur_counts), _ = jax.lax.scan(
-            body, (tuple(P), cur_counts), None, length=n_plateau
+        (P, cur_counts), _ = jax.lax.scan(
+            body, (P, cur_counts), None, length=n_plateau
         )
-        P = pt_type(*leaves)
 
     # final: bucket b's sum (count<=1) sits at offsets[:, b]
     offsets = jnp.cumsum(cur_counts, axis=-1) - cur_counts
-    idx = jnp.clip(offsets, 0, width - 1)
-    sums = _take2(P, idx)
+    idx = jnp.clip(offsets, 0, width - 1) + rows * width
+    sums = _unstack(jnp.take(P, idx.reshape(-1), axis=-1), splits, pt_type)
+    sums = type(sums)(*(a.reshape(a.shape[:-1] + (K, L)) for a in sums))
     empty = cur_counts == 0
     zero = zero_like(K, L)
     sums = _select(empty, zero, sums)

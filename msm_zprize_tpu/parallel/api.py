@@ -184,17 +184,16 @@ class Weierstrass:
             random_uniform_limbs(rng, self.params.order, N, self.scalar.scheme)
         )
 
-    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> AffinePoints:
+    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 8) -> AffinePoints:
         """Fast non-hiding random points (`createRandomPointsFast`,
         `curve-random.ts:14-92`): K = ceil(entropy/c) random base points, a
-        2^c-entry multiple table per base built by table-doubling, each
-        output point a sum of one entry per table, batch-normalized.
+        2^c-entry multiple table per base, each output point a sum of one
+        entry per table, batch-normalized.
 
         The multiple tables are built host-side with the bigint oracle (the
-        setup is O(K*2^c) cheap bigint adds, exactly the reference's
-        JS-driven table build); the device program is just gather + K-way
-        add + batch normalization — ONE small jitted program, so the compile
-        cost stays trivial."""
+        setup is O(K*2^c) cheap bigint adds, like the reference's JS-driven
+        table build — c=8 keeps that under a second); the device program is
+        just flat gathers + K-way mixed add + batch normalization."""
         import random as _random
 
         rng = _random.Random(seed ^ 0x9E3779B9)
@@ -202,13 +201,8 @@ class Weierstrass:
         Lt = 1 << c
         W = self.ops
         A = self.oracle_affine
-        Pc = self.oracle_projective
         bases = [A.random(rng) for _ in range(K)]
-        # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k], built with
-        # batch-inverted AFFINE oracle adds per row (one Python pow-inverse
-        # per chain step is ~µs; building the table affine host-side means
-        # the device program is ONLY gather + K-way mixed add + one batch
-        # normalization — no separate table-normalize program to compile).
+        # host tables: row k = [0, B_k, 2*B_k, ..., (Lt-1)*B_k]
         rows = []
         for b in bases:
             row = [None]
@@ -216,24 +210,19 @@ class Weierstrass:
                 row.append(A.add(row[-1], b))
             rows.append(row)
         flat = [p for row in rows for p in row]
-        at = W.pack_affine(flat)
-        tx = at.x.reshape(-1, K, Lt)
-        ty = at.y.reshape(-1, K, Lt)
-        tinf = at.inf.reshape(K, Lt)
+        at = W.pack_affine(flat)  # leaves (n, K*Lt) / (K*Lt,)
         idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
+        idx = idx + (jnp.arange(K, dtype=idx.dtype) * Lt)[:, None]  # flat ids
 
         key = ("rpf", K, c, N)
         if key not in self._jit_cache:
 
             def fn(tx, ty, tinf, idx):
-                # gather one affine entry per table: (n, K, N)
-                gx = jnp.take_along_axis(
-                    tx, jnp.broadcast_to(idx, tx.shape[:-2] + idx.shape), axis=-1
-                )
-                gy = jnp.take_along_axis(
-                    ty, jnp.broadcast_to(idx, ty.shape[:-2] + idx.shape), axis=-1
-                )
-                ginf = jnp.take_along_axis(tinf, idx, axis=-1)  # (K, N)
+                # ONE flat gather per coordinate: (n, K*N)
+                fi = idx.reshape(-1)
+                gx = jnp.take(tx, fi, axis=-1).reshape(tx.shape[:-1] + (K, N))
+                gy = jnp.take(ty, fi, axis=-1).reshape(ty.shape[:-1] + (K, N))
+                ginf = jnp.take(tinf, fi).reshape(K, N)
                 # fold the K tables' picks (K is tiny): proj acc += affine pick
                 acc = W.from_affine(
                     AffinePoints(gx[..., 0, :], gy[..., 0, :], ginf[0])
@@ -246,7 +235,7 @@ class Weierstrass:
                 return pts.x, pts.y, pts.inf
 
             self._jit_cache[key] = jax.jit(fn)
-        return AffinePoints(*self._jit_cache[key](tx, ty, tinf, idx))
+        return AffinePoints(*self._jit_cache[key](at.x, at.y, at.inf, idx))
 
 
 class TwistedEdwards:
@@ -333,10 +322,10 @@ class TwistedEdwards:
             random_uniform_limbs(rng, self.params.order, N, self.scalar.scheme)
         )
 
-    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 13) -> ExtPoints:
+    def random_points_fast(self, N: int, seed: int = 0, entropy_bits: int = 64, c: int = 8) -> ExtPoints:
         """Host-side oracle table build (cheap bigint setup, like the
-        reference's JS-driven tables) + ONE small device program: gather,
-        K-way unified add, batch normalization."""
+        reference's JS-driven tables) + ONE small device program: flat
+        gathers, K-way unified add, batch normalization."""
         import random as _random
 
         rng = _random.Random(seed ^ 0x9E3779B9)
@@ -352,18 +341,17 @@ class TwistedEdwards:
                 row.append(O.add(row[-1], b))
             rows.append(row)
         table = E.pack([p for row in rows for p in row])  # leaves (n, K*Lt)
-        tleaves = tuple(a.reshape(-1, K, Lt) for a in table)
         idx = jax.random.randint(jax.random.PRNGKey(seed), (K, N), 0, Lt)
+        idx = idx + (jnp.arange(K, dtype=idx.dtype) * Lt)[:, None]
 
         key = ("rpf", K, c, N)
         if key not in self._jit_cache:
 
             def fn(tX, tY, tZ, tT, idx):
+                fi = idx.reshape(-1)
                 picked = ExtPoints(
                     *(
-                        jnp.take_along_axis(
-                            a, jnp.broadcast_to(idx, a.shape[:-2] + idx.shape), axis=-1
-                        )
+                        jnp.take(a, fi, axis=-1).reshape(a.shape[:-1] + (K, N))
                         for a in (tX, tY, tZ, tT)
                     )
                 )
@@ -373,4 +361,4 @@ class TwistedEdwards:
                 return tuple(E.batch_normalize(acc))
 
             self._jit_cache[key] = jax.jit(fn)
-        return ExtPoints(*self._jit_cache[key](*tleaves, idx))
+        return ExtPoints(*self._jit_cache[key](*table, idx))

@@ -33,6 +33,13 @@ jax.config.update("jax_platforms", "cpu")
 # avx512 host with +prefer-no-scatter crashed test_msm_flagship_sharded on
 # this host).
 def _cpu_fingerprint() -> str:
+    # cpuinfo flags alone are NOT enough: XLA:CPU bakes additional tuning
+    # target-features (+prefer-no-scatter, +prefer-no-gather, ...) chosen at
+    # compile time into AOT results, and loading an entry whose features the
+    # loader deems host-incompatible SIGSEGVs mid-suite (observed; the
+    # loader itself warns "could lead to execution errors such as SIGILL").
+    # Include the boot id so a cache never survives onto a different
+    # machine/boot — within-boot reuse is what matters for test speed.
     try:
         flags = ""
         with open("/proc/cpuinfo") as fh:
@@ -42,6 +49,14 @@ def _cpu_fingerprint() -> str:
                     break
     except OSError:
         flags = platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            flags += fh.read().strip()
+    except OSError:
+        pass
+    import jaxlib
+
+    flags += jaxlib.__version__
     return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 

@@ -103,7 +103,7 @@ def accumulate_batched_affine(
     return sums, empty
 
 
-def accumulate_glv_projective(
+def accumulate_glv_halving(
     W: WeierstrassOps,
     S: GlvScalar,
     scalars,
@@ -111,14 +111,11 @@ def accumulate_glv_projective(
     c: int,
 ):
     """GLV + signed-digit bucket accumulation with COMPLETE projective adds
-    (Renes-Costello-Batina): no inversions, no edge-case masks, always safe.
-
-    The reference's batched-affine trick trades ~2x multiplies for a shared
-    batch inversion per halving level — a CPU economy (`doc/zprize22.md:338`).
-    On TPU the inversion's ~400-deep sequential multiply chain is latency,
-    not throughput, so the branch-free 12-mul complete add can win; both
-    paths are kept and benchmarked (bench.py). Returns projective bucket
-    sums (identity = Z=0 encodes emptiness)."""
+    (Renes-Costello-Batina) over the halving engine: O(log) rounds even for
+    adversarial digit distributions, but ~2 data-dependent gathers per
+    halving level. Kept for worst-case-robust use and as the A/B baseline
+    for the padded path below. Returns projective bucket sums (identity =
+    Z=0 encodes emptiness)."""
     pts2, mags, signs, K, L = glv_prep(W, S, scalars, points, c)
 
     def prepare(A, flag):
@@ -135,6 +132,58 @@ def accumulate_glv_projective(
 
     sums, empty = engine.accumulate_buckets(pts2, mags, signs, L, pair_add, prepare, zero_like)
     return sums, empty
+
+
+def accumulate_glv_projective(
+    W: WeierstrassOps,
+    S: GlvScalar,
+    scalars,
+    points: AffinePoints,
+    c: int,
+):
+    """GLV + signed-digit bucket accumulation, padded-bucket engine.
+
+    Complete projective adds (Renes-Costello-Batina): no inversions, no
+    edge-case masks, always safe — and, unlike the halving engine, only ONE
+    data-dependent gather for the whole accumulation (engine.
+    accumulate_buckets_padded; gathers dominate MSM time on TPU). The
+    reference's batched-affine trick trades ~2x multiplies for a shared
+    batch inversion per level — a CPU economy (`doc/zprize22.md:338`); on
+    TPU the inversion's ~400-deep sequential multiply chain is latency, so
+    the branch-free 12-mul complete add wins. Returns projective bucket
+    sums (identity = Z=0 encodes emptiness) plus an all-False empty mask.
+    """
+    pts2, mags, signs, K, L = glv_prep(W, S, scalars, points, c)
+    F = W.F
+
+    def prepare(leaves, flag, valid):
+        x, y = leaves
+        y = F.cneg(y, flag)
+        one = F.ones_mont(*y.shape[1:])
+        # exact identity (0 : 1 : 0) on invalid lanes — RCB completeness
+        # requires inputs to be curve points, and clamped-gather garbage
+        # with Z=0 is not one
+        x = jnp.where(valid, x, jnp.zeros_like(x))
+        y = jnp.where(valid, y, one)
+        z = jnp.where(valid, one, jnp.zeros_like(one))
+        return (x, y, z)
+
+    def pair_add(a, b):
+        out = W.proj_add(ProjectivePoints(*a), ProjectivePoints(*b))
+        return tuple(out)
+
+    def zero_like(K_, L_):
+        return (F.zeros(K_, L_), F.ones_mont(K_, L_), F.zeros(K_, L_))
+
+    # static per-window populated-bucket caps: the top window's digit range
+    # is truncated by the scalar width (see engine docstring)
+    caps = [min(L, 1 << max(S.max_bits - k * c, 0)) for k in range(K)]
+    sums = engine.accumulate_buckets_padded(
+        (pts2.x, pts2.y), mags, signs, L, pair_add, prepare, zero_like,
+        window_caps=caps,
+    )
+    empty = jnp.zeros((K, L), dtype=bool)  # Z=0 encodes emptiness
+    return ProjectivePoints(*sums), empty
 
 
 def finalize_affine_buckets(W: WeierstrassOps, sums, empty, c: int) -> ProjectivePoints:
@@ -194,13 +243,18 @@ def msm_batched_affine(
     (only meaningful for mode="affine"; projective adds are always complete).
     mode: "affine" = batched-affine adds with shared batch inversion per
     halving level (the reference's flagship economy); "projective" =
-    complete 12-mul adds, zero inversions (lower sequential depth).
+    complete 12-mul adds via the padded-bucket engine (one gather total,
+    the TPU default); "halving" = complete adds over the halving engine
+    (O(log) rounds even for adversarial digit distributions).
     """
     N = points.x.shape[-1]
     if c is None:
         c = window_size("batched-affine", max(N.bit_length() - 1, 1))
     if mode == "projective":
         sums, _empty = accumulate_glv_projective(W, S, scalars, points, c)
+        return finalize_projective_buckets(W, sums, c)
+    if mode == "halving":
+        sums, _empty = accumulate_glv_halving(W, S, scalars, points, c)
         return finalize_projective_buckets(W, sums, c)
     sums, empty = accumulate_batched_affine(W, S, scalars, points, c, safe)
     return finalize_affine_buckets(W, sums, empty, c)

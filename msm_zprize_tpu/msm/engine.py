@@ -22,10 +22,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import bucket_counts, halving_layout, sort_by_bucket
 
-__all__ = ["accumulate_buckets", "reduce_buckets", "horner", "msm_pipeline"]
+__all__ = [
+    "accumulate_buckets",
+    "accumulate_buckets_padded",
+    "reduce_buckets",
+    "horner",
+    "msm_pipeline",
+]
 
 
 def _take_flat(pts, flat_idx):
@@ -58,7 +65,7 @@ def _unstack(arr, splits, pt_type):
     for lo, hi, ndim in splits:
         a = arr[lo:hi]
         out.append(a if ndim == 2 else a[0])
-    return pt_type(*out)
+    return tuple(out) if pt_type is tuple else pt_type(*out)
 
 
 def _select(mask, a, b):
@@ -174,6 +181,149 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, prepare, zero_li
     zero = zero_like(K, L)
     sums = _select(empty, zero, sums)
     return sums, empty
+
+
+def accumulate_buckets_padded(
+    point_leaves,
+    digits,
+    signs,
+    L: int,
+    pair_add,
+    prepare,
+    zero_like,
+    window_caps=None,
+):
+    """Bucket accumulation via a PADDED (window, bucket, slot) layout.
+
+    The halving engine above pays ~2 data-dependent gathers per level —
+    and on TPU a gather's cost is dominated by a large fixed per-op
+    component (scripts/gather_bench2: ~9 ms/op nearly independent of index
+    count at MSM shapes), so ~20 level-gathers dominate the whole MSM.
+    This path instead does ONE composed gather into a dense (K, L, M)
+    layout (M = 2x the mean bucket occupancy, a power of two) and then
+    log2(M) levels of REGULAR pairwise complete adds (reshape-only data
+    movement at memory speed, no gathers). Requires ``pair_add`` to be a
+    COMPLETE group law (identity lanes flow through unmasked), which the
+    Renes-Costello-Batina projective formulas and the unified Edwards add
+    both are.
+
+    point_leaves: tuple of arrays, each (r, B) or (B,) — the per-point
+        coordinate data to gather (narrowest form, e.g. affine x, y).
+    digits:  (K, B) int32 magnitudes in [0, L] (0 = skip).
+    signs:   (K, B) int32 sign flags.
+    pair_add(leaves_a, leaves_b) -> leaves: complete add, identity-safe.
+    prepare(gathered_leaves, sign, valid) -> accumulator-form leaves with
+        the EXACT identity element wherever ``valid`` is False.
+    zero_like(K, L) -> accumulator-form identity leaves (.., K, L).
+    window_caps: optional static per-window upper bounds on the number of
+        populated buckets (< L for the top window, whose digit range is
+        truncated by the scalar width). Windows with cap_k < L get their
+        buckets SPREAD over L virtual ids (virtual = id * S_k + (point_idx
+        mod S_k)) so every window's per-bucket occupancy stays ~B/L; the
+        virtual sums are re-folded after accumulation. Without this the
+        top window's buckets hold ~S_k times the mean and force extra
+        residual rounds every run.
+
+    Residual rounds: counts above M are handled by a lax.while_loop over
+    further M-slot rounds — never entered for benign (near-uniform) digit
+    distributions, and correct (though linear-time) for adversarial ones;
+    cf. the safe/halving path which stays O(log) in the worst case.
+
+    Returns accumulator leaves (.., K, L); empty buckets hold the identity.
+    """
+    K, B = digits.shape
+    ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
+
+    S = np.ones((K,), dtype=np.int64)
+    if window_caps is not None:
+        caps = np.minimum(np.maximum(np.asarray(window_caps, dtype=np.int64), 1), L)
+        S = L // caps  # powers of two
+    max_s = int(S.max())
+    if max_s > 1:
+        s_col = jnp.asarray(S.astype(np.int32))[:, None]
+        iota = jnp.arange(B, dtype=jnp.int32)[None, :]
+        virt = ids * s_col + (iota & (s_col - 1))
+        ids = jnp.where(ids == L, L, virt)
+
+    order, sorted_ids = sort_by_bucket(ids)
+    counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L)
+    offsets = jnp.cumsum(counts, axis=-1) - counts
+    ends = offsets + counts
+    max_count = jnp.max(counts)
+
+    mean = max(B // L, 1)
+    M = max(2 * mean, 2)  # power of two (B, L powers of two)
+
+    order_flat = order.reshape(-1)
+    signs_flat = signs.reshape(-1)
+    kbase = jnp.broadcast_to(
+        (jnp.arange(K, dtype=jnp.int32) * B)[:, None, None], (K, L, M)
+    ).reshape(-1)
+    j = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+
+    stacked, splits, pt_type = _stack(tuple(point_leaves))
+
+    def tree_reduce(leaves):
+        # (.., K*L*M) -> pairwise adds down to (.., K*L): regular reshapes,
+        # zero gathers; identity padding flows through the complete add
+        m = M
+        cur = leaves
+        while m > 1:
+            pairs = tuple(a.reshape(a.shape[:-1] + (-1, 2)) for a in cur)
+            cur = pair_add(
+                tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+            )
+            m //= 2
+        return cur
+
+    def one_round(acc, p):
+        pos = offsets[:, :, None] + p + j  # (K, L, M)
+        valid = (pos < ends[:, :, None]).reshape(-1)
+        flat = (jnp.clip(pos, 0, B - 1)).reshape(-1) + kbase
+        src = jnp.take(order_flat, flat)  # (K*L*M,) in [0, B)
+        g = jnp.take(stacked, src, axis=-1)
+        sg = jnp.take(signs_flat, src + kbase)
+        P = prepare(_unstack(g, splits, pt_type), sg, valid)
+        sums = tree_reduce(tuple(P))
+        return pair_add(acc, sums)
+
+    acc0 = tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in zero_like(K, L))
+
+    def cond(carry):
+        _, p = carry
+        return p < max_count
+
+    def body(carry):
+        acc, p = carry
+        return one_round(acc, p), p + M
+
+    acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.int32(0)))
+    acc = tuple(a.reshape(a.shape[:-1] + (K, L)) for a in acc)
+
+    # fold virtual buckets back to logical ids (affects only windows with
+    # S_k > 1; their logical sums land at positions [0, cap_k))
+    step = 1
+    while step < max_s:
+        k0 = min(k for k in range(K) if S[k] > step)
+        sub = tuple(a[..., k0:, :] for a in acc)
+        pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in sub)
+        comb = pair_add(
+            tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+        )
+        idpad = zero_like(K - k0, L // 2)
+        folded = tuple(
+            jnp.concatenate([cmb, z], axis=-1) for cmb, z in zip(comb, idpad)
+        )
+        if any(S[k] <= step for k in range(k0, K)):
+            # mixed rows in the tail block: keep unaffected rows as-is
+            rows = jnp.asarray((S[k0:] > step))[:, None]
+            folded = tuple(jnp.where(rows, f, s) for f, s in zip(folded, sub))
+        acc = tuple(
+            jnp.concatenate([a[..., :k0, :], f], axis=-2)
+            for a, f in zip(acc, folded)
+        )
+        step *= 2
+    return acc
 
 
 def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):

@@ -104,3 +104,37 @@ tab2 = jnp.asarray(rng.integers(0, 4096, (64, B2), dtype=np.int32))
 idx2 = jnp.asarray(rng.integers(0, B2, (B2,), dtype=np.int32))
 timed(f"take flat {B2} idx on (64,{B2})",
       chain(lambda t, i: jnp.take(t, i, axis=1)), tab2, idx2)
+
+# 9. row-gather: table (B, ROWS) take axis=0 (each idx moves a contiguous row)
+tabT = jnp.asarray(rng.integers(0, 4096, (B, ROWS), dtype=np.int32))
+timed(f"take axis0 {K}x{B} idx on ({B},96)",
+      chain(lambda t, i: jnp.take(t, i, axis=0)), tabT, idx_flat)
+
+tabT128 = jnp.asarray(rng.integers(0, 4096, (B, 128), dtype=np.int32))
+timed(f"take axis0 {K}x{B} idx on ({B},128)",
+      chain(lambda t, i: jnp.take(t, i, axis=0)), tabT128, idx_flat)
+
+# 10. bytes-scaling: 32 rows vs 96 rows, same idx count
+tab32 = jnp.asarray(rng.integers(0, 4096, (32, B), dtype=np.int32))
+timed(f"take flat {K}x{B} idx on (32,{B})",
+      chain(lambda t, i: jnp.take(t, i, axis=1)), tab32, idx_flat)
+
+# 11. idx-scaling: half the indices on 96 rows
+idx_half = idx_flat[: (K * B) // 2]
+timed(f"take flat {K}x{B}/2 idx on (96,{B})",
+      chain(lambda t, i: jnp.take(t, i, axis=1)), tab, idx_half)
+
+# 12. de-interleave cost: (96, X) -> pairs add, X = K*B
+big = jnp.asarray(rng.integers(0, 4096, (ROWS, K * B), dtype=np.int32))
+def deint(t, i):
+    v = t + i[0]
+    p = v.reshape(ROWS, (K * B) // 2, 2)
+    return p[..., 0] + p[..., 1]
+timed(f"de-interleave+add (96,{K*B})", chain(deint), big, idx_flat)
+
+# 13. halve-by-slice (contiguous halves instead of even/odd)
+def halves(t, i):
+    v = t + i[0]
+    h = (K * B) // 2
+    return v[:, :h] + v[:, h:]
+timed(f"contiguous-halves add (96,{K*B})", chain(halves), big, idx_flat)

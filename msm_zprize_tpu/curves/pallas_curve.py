@@ -108,10 +108,18 @@ def _curve_call(*arrs, fn, n_out, n, interpret, name):
             (k, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
+    # varying-mesh-axes of the outputs = union over inputs; needed so the
+    # kernels compose with shard_map's check_vma=True (outputs of a lane-
+    # wise kernel vary exactly over the axes its inputs vary over)
+    vma = frozenset().union(
+        *(getattr(jax.typeof(a), "vma", frozenset()) for a in arrs)
+    )
+
     return pl.pallas_call(
         fn,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n, nb, LANES), jnp.int32) for _ in range(n_out)
+            jax.ShapeDtypeStruct((n, nb, LANES), jnp.int32, vma=vma)
+            for _ in range(n_out)
         ),
         grid=grid,
         in_specs=[spec(a.shape[0]) for a in arrs],

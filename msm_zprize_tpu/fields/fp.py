@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bigint.field import montgomery_params
+from ..utils.vma import pvary_like, vma_of
 from . import limbs as L
 from .limbs import DTYPE, LimbScheme
 
@@ -128,7 +129,7 @@ def _scan_carry(cols, w: int):
         t = col + c
         return t >> w, t & mask
 
-    init = jnp.zeros(cols.shape[1:], dtype=DTYPE)
+    init = pvary_like(jnp.zeros(cols.shape[1:], dtype=DTYPE), vma_of(cols))
     carry, digits = jax.lax.scan(body, init, cols)
     return digits, carry
 
@@ -415,7 +416,9 @@ class MontgomeryFp:
             return nxt, nxt
 
         _, prefixes = jax.lax.scan(
-            pref_body, self.ones_mont(cols), jnp.moveaxis(xr, 1, 0)
+            pref_body,
+            pvary_like(self.ones_mont(cols), vma_of(x)),
+            jnp.moveaxis(xr, 1, 0),
         )  # (rows, n, cols)
         total_per_col = prefixes[-1]  # (n, cols)
 

@@ -175,12 +175,10 @@ def accumulate_glv_projective(
     def zero_like(K_, L_):
         return (F.zeros(K_, L_), F.ones_mont(K_, L_), F.zeros(K_, L_))
 
-    # static per-window populated-bucket caps: the top window's digit range
-    # is truncated by the scalar width (see engine docstring)
-    caps = [min(L, 1 << max(S.max_bits - k * c, 0)) for k in range(K)]
+    # per-window occupancy equalization is handled inside the engine
+    # (data-derived spread factors; see accumulate_buckets_padded)
     sums = engine.accumulate_buckets_padded(
         (pts2.x, pts2.y), mags, signs, L, pair_add, prepare, zero_like,
-        window_caps=caps,
     )
     empty = jnp.zeros((K, L), dtype=bool)  # Z=0 encodes emptiness
     return ProjectivePoints(*sums), empty

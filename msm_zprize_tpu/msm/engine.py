@@ -22,8 +22,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from ..utils.vma import pvary_like, vma_of
 from .common import bucket_counts, halving_layout, sort_by_bucket
 
 __all__ = [
@@ -169,7 +169,7 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, prepare, zero_li
             return (Pn, next_counts, it + 1)
 
         P, cur_counts, _ = jax.lax.while_loop(
-            cond, body, (P, cur_counts, jnp.int32(0))
+            cond, body, (P, cur_counts, pvary_like(jnp.int32(0), vma_of(P)))
         )
 
     # final: bucket b's sum (count<=1) sits at offsets[:, b]
@@ -178,7 +178,7 @@ def accumulate_buckets(points, digits, signs, L: int, pair_add, prepare, zero_li
     sums = _unstack(jnp.take(P, idx.reshape(-1), axis=-1), splits, pt_type)
     sums = type(sums)(*(a.reshape(a.shape[:-1] + (K, L)) for a in sums))
     empty = cur_counts == 0
-    zero = zero_like(K, L)
+    zero = pvary_like(zero_like(K, L), vma_of(empty))
     sums = _select(empty, zero, sums)
     return sums, empty
 
@@ -191,7 +191,6 @@ def accumulate_buckets_padded(
     pair_add,
     prepare,
     zero_like,
-    window_caps=None,
 ):
     """Bucket accumulation via a PADDED (window, bucket, slot) layout.
 
@@ -215,35 +214,39 @@ def accumulate_buckets_padded(
     prepare(gathered_leaves, sign, valid) -> accumulator-form leaves with
         the EXACT identity element wherever ``valid`` is False.
     zero_like(K, L) -> accumulator-form identity leaves (.., K, L).
-    window_caps: optional static per-window upper bounds on the number of
-        populated buckets (< L for the top window, whose digit range is
-        truncated by the scalar width). Windows with cap_k < L get their
-        buckets SPREAD over L virtual ids (virtual = id * S_k + (point_idx
-        mod S_k)) so every window's per-bucket occupancy stays ~B/L; the
-        virtual sums are re-folded after accumulation. Without this the
-        top window's buckets hold ~S_k times the mean and force extra
-        residual rounds every run.
+
+    Occupancy equalization: windows whose digits occupy fewer than L
+    distinct values (the top GLV window occupies FAR fewer — its digit
+    range is truncated by the scalar bound and biased small by the Babai
+    remainder distribution) get their buckets SPREAD over L virtual ids,
+    virtual = id * S_k + (point_idx mod S_k). S_k is computed from the
+    DATA: the largest power of two with max_id_k * S_k + S_k - 1 < L.
+    Shapes stay static — S is a traced (K, 1) vector, and the virtual
+    sums are re-folded to logical ids by log2(L) masked pair-fold levels
+    after accumulation. (A static bound-derived S was tried first and
+    under-spread badly: measured top-window occupancy 544 vs slot count
+    M = 128 at 2^16, forcing 5 residual rounds — 770 ms of the 838 ms
+    round-2 MSM. See scripts/accum_probe.py.)
 
     Residual rounds: counts above M are handled by a lax.while_loop over
-    further M-slot rounds — never entered for benign (near-uniform) digit
-    distributions, and correct (though linear-time) for adversarial ones;
-    cf. the safe/halving path which stays O(log) in the worst case.
+    further M-slot rounds — rarely entered now (only for adversarial
+    digit distributions, e.g. many duplicate scalars), and correct
+    (though linear-time) for those; cf. the safe/halving path which stays
+    O(log) in the worst case.
 
     Returns accumulator leaves (.., K, L); empty buckets hold the identity.
     """
     K, B = digits.shape
     ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
 
-    S = np.ones((K,), dtype=np.int64)
-    if window_caps is not None:
-        caps = np.minimum(np.maximum(np.asarray(window_caps, dtype=np.int64), 1), L)
-        S = L // caps  # powers of two
-    max_s = int(S.max())
-    if max_s > 1:
-        s_col = jnp.asarray(S.astype(np.int32))[:, None]
-        iota = jnp.arange(B, dtype=jnp.int32)[None, :]
-        virt = ids * s_col + (iota & (s_col - 1))
-        ids = jnp.where(ids == L, L, virt)
+    max_id = jnp.max(jnp.where(ids == L, 0, ids), axis=1)  # (K,)
+    t = L // (max_id + 1)
+    for sh in (1, 2, 4, 8, 16):
+        t = t | (t >> sh)
+    S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (K, 1) pow2 in [1, L]
+    iota = jnp.arange(B, dtype=jnp.int32)[None, :]
+    virt = ids * S + (iota & (S - 1))
+    ids = jnp.where(ids == L, L, virt)
 
     order, sorted_ids = sort_by_bucket(ids)
     counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L)
@@ -264,17 +267,22 @@ def accumulate_buckets_padded(
     stacked, splits, pt_type = _stack(tuple(point_leaves))
 
     def tree_reduce(leaves):
-        # (.., K*L*M) -> pairwise adds down to (.., K*L): regular reshapes,
-        # zero gathers; identity padding flows through the complete add
+        # (.., K*L*M) -> pairwise adds down to (.., K*L). Slot j pairs with
+        # slot j + m/2 (contiguous HALVES of the slot axis, not stride-2
+        # interleaving: a stride-2 slice of the minor dimension is a
+        # sublane/lane relayout on TPU, halves are plain contiguous reads).
+        # Any pairing is valid — the tree just sums all M slots — and
+        # identity padding flows through the complete add.
         m = M
-        cur = leaves
+        cur = tuple(a.reshape(a.shape[:-1] + (K * L, M)) for a in leaves)
         while m > 1:
-            pairs = tuple(a.reshape(a.shape[:-1] + (-1, 2)) for a in cur)
+            half = m // 2
             cur = pair_add(
-                tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+                tuple(a[..., :half] for a in cur),
+                tuple(a[..., half:] for a in cur),
             )
-            m //= 2
-        return cur
+            m = half
+        return tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in cur)
 
     def one_round(acc, p):
         pos = offsets[:, :, None] + p + j  # (K, L, M)
@@ -287,7 +295,10 @@ def accumulate_buckets_padded(
         sums = tree_reduce(tuple(P))
         return pair_add(acc, sums)
 
-    acc0 = tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in zero_like(K, L))
+    vma = vma_of(digits)
+    acc0 = pvary_like(
+        tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in zero_like(K, L)), vma
+    )
 
     def cond(carry):
         _, p = carry
@@ -297,31 +308,29 @@ def accumulate_buckets_padded(
         acc, p = carry
         return one_round(acc, p), p + M
 
-    acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.int32(0)))
+    acc, _ = jax.lax.while_loop(
+        cond, body, (acc0, pvary_like(jnp.int32(0), vma))
+    )
     acc = tuple(a.reshape(a.shape[:-1] + (K, L)) for a in acc)
 
-    # fold virtual buckets back to logical ids (affects only windows with
-    # S_k > 1; their logical sums land at positions [0, cap_k))
+    # fold virtual buckets back to logical ids: log2(L) static levels of
+    # adjacent-pair folding (virtual 2v and 2v+1 share a logical id while
+    # the remaining spread exceeds 1), each level applied only to windows
+    # whose traced S_k still exceeds the level's step — other rows pass
+    # through via the select. After its log2(S_k) levels a window's
+    # logical sum l sits at position l; higher positions hold the identity.
+    idpad = pvary_like(zero_like(K, L // 2), vma)
     step = 1
-    while step < max_s:
-        k0 = min(k for k in range(K) if S[k] > step)
-        sub = tuple(a[..., k0:, :] for a in acc)
-        pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in sub)
+    while step < L:
+        active = S > step  # (K, 1), broadcasts over the bucket axis
+        pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in acc)
         comb = pair_add(
             tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
         )
-        idpad = zero_like(K - k0, L // 2)
         folded = tuple(
             jnp.concatenate([cmb, z], axis=-1) for cmb, z in zip(comb, idpad)
         )
-        if any(S[k] <= step for k in range(k0, K)):
-            # mixed rows in the tail block: keep unaffected rows as-is
-            rows = jnp.asarray((S[k0:] > step))[:, None]
-            folded = tuple(jnp.where(rows, f, s) for f, s in zip(folded, sub))
-        acc = tuple(
-            jnp.concatenate([a[..., :k0, :], f], axis=-2)
-            for a, f in zip(acc, folded)
-        )
+        acc = tuple(jnp.where(active, f, a) for f, a in zip(folded, acc))
         step *= 2
     return acc
 
@@ -368,7 +377,8 @@ def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):
         total = acc_ops.add(total, running)
         return (running, total), None
 
-    init = (acc_ops.zero(K, D), acc_ops.zero(K, D))
+    vma = vma_of(*bucket_sums)
+    init = pvary_like((acc_ops.zero(K, D), acc_ops.zero(K, D)), vma)
     (running, total), _ = jax.lax.scan(
         tri_body, init, (bs_moved, emp_moved), reverse=True
     )
@@ -385,11 +395,11 @@ def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):
             wr = acc_ops.add(wr, racc)
             return (wr, racc), None
 
-        initw = (acc_ops.zero(K), acc_ops.zero(K))
+        initw = pvary_like((acc_ops.zero(K), acc_ops.zero(K)), vma)
         (wr, _), _ = jax.lax.scan(row_body, initw, r_moved, reverse=True)
         wr = type(wr)(*(a[..., None] for a in wr))  # (.., K, 1)
     else:
-        wr = acc_ops.zero(K, 1)
+        wr = pvary_like(acc_ops.zero(K, 1), vma)
     # sum_d T_d: log-tree over D (power of two)
     tot = total
     Dcur = D

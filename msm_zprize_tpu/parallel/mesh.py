@@ -1,16 +1,30 @@
-"""Multi-chip MSM: shard_map over a device mesh.
+"""Multi-chip MSM: shard_map over a device mesh with ICI collectives.
 
 TPU-native replacement for the reference's thread pool + SharedArrayBuffer
 runtime (`src/threads/threads.ts`, SURVEY.md §2.7): points and scalars are
-sharded over the mesh's data axis, each chip runs the full accumulation
-pipeline on its slice (the SPMD analog of `pool.parallelize`), per-chip
-bucket sums are combined with a log-tree of curve adds (replacing the
-main-thread chunk-sum loop, `msm-batched-affine.ts:299-327`), and the cheap
-reduction/horner tail runs replicated (the analog of main-thread stage 3).
+sharded over the mesh's data axis and each chip runs the full accumulation
+pipeline on its slice (the SPMD analog of `pool.parallelize`).
 
-The pipeline is split into two jitted programs (sharded accumulate /
-combine+finalize) — keeping the SPMD partitioner's job trivial and letting
-the tail reuse its compilation across mesh sizes.
+Cross-chip combination is the analog of the reference's main-thread
+chunk-sum loop (`msm-batched-affine.ts:299-327`), redesigned as in-program
+collectives so partial bucket sums ride the ICI instead of round-tripping
+through the host:
+
+1. `all_to_all` over the WINDOW axis redistributes bucket partials so chip
+   j owns all d chips' partials for its window slice (a reduce-scatter in
+   bucket space — comm volume 1x the partial-sum data, vs d x for an
+   all-gather).
+2. Each chip tree-adds its d partials (log2(d) curve adds over its
+   (K/d, L) slice) and runs the weighted bucket reduction for its windows
+   only — the 15%-of-runtime reduction phase is now divided by d, like the
+   reference's `splitBuckets` work split (`msm-common.ts:88-188`).
+3. Per-window sums leave the shard_map sharded over windows (a few KB);
+   the final Horner over K windows is O(K*c) curve ops and runs as a tiny
+   single-device program (the analog of the reference's main-thread-only
+   stage 3).
+
+The window axis is padded to a multiple of the mesh size with identity
+windows; identity window sums flow through Horner harmlessly.
 """
 
 from __future__ import annotations
@@ -24,11 +38,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..curves.edwards import EdwardsOps, ExtPoints
 from ..curves.weierstrass import AffinePoints, ProjectivePoints, WeierstrassOps
 from ..fields.scalar import GlvScalar
-from ..msm.basic import accumulate_edwards, finalize_edwards
+from ..msm import engine
+from ..msm.basic import _EdAcc, accumulate_edwards
 from ..msm.batched_affine import (
+    _ProjAcc,
     accumulate_batched_affine,
     accumulate_glv_projective,
-    finalize_projective_buckets,
 )
 from ..msm.common import window_size
 
@@ -49,74 +64,113 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     )
 
 
-def _tree_reduce_axis0(add_fn, pts):
-    """Log-tree combine over a leading (device) axis of point leaves.
+def _pad_windows(leaves, Kp: int, identity_like):
+    """Pad the window axis (axis -2 of (.., K, L) leaves) to Kp with
+    identity points. identity_like(k, L) -> identity leaves (.., k, L)."""
+    K, L = leaves[0].shape[-2], leaves[0].shape[-1]
+    if Kp == K:
+        return leaves
+    pad = engine.pvary_like(identity_like(Kp - K, L), engine.vma_of(*leaves))
+    return tuple(
+        jnp.concatenate([a, z], axis=-2) for a, z in zip(leaves, pad)
+    )
 
-    Leaves arrive as (d, n, *batch); curve ops expect limbs-first, so the
-    device axis is moved to the END (a trailing batch axis) and halved."""
-    pts = type(pts)(*(jnp.moveaxis(a, 0, -1) for a in pts))
-    d = pts[0].shape[-1]
-    while d > 1:
-        half = d // 2
-        left = type(pts)(*(a[..., :half] for a in pts))
-        right = type(pts)(*(a[..., half : 2 * half] for a in pts))
+
+def _redistribute_windows(leaves, d: int):
+    """all_to_all bucket partials over the window axis: (.., Kp, L) per chip
+    -> (.., Kp/d, d, L) where the new axis indexes SOURCE chips' partials
+    for this chip's window slice."""
+    out = []
+    for a in leaves:
+        r = jax.lax.all_to_all(a, AXIS, split_axis=a.ndim - 2,
+                               concat_axis=a.ndim - 1, tiled=True)
+        # received pieces are concatenated source-major on the bucket axis
+        out.append(r.reshape(r.shape[:-1] + (d, r.shape[-1] // d)))
+    return tuple(out)
+
+
+def _tree_add_sources(add_fn, pt_type, leaves):
+    """Log-tree combine over the source-chip axis (axis -2 of each leaf)."""
+    cur = pt_type(*leaves)
+    dd = cur[0].shape[-2]
+    while dd > 1:
+        half = dd // 2
+        left = pt_type(*(a[..., :half, :] for a in cur))
+        right = pt_type(*(a[..., half : 2 * half, :] for a in cur))
         merged = add_fn(left, right)
-        if d % 2:
-            odd = type(pts)(*(a[..., -1:] for a in pts))
-            first = add_fn(type(merged)(*(a[..., :1] for a in merged)), odd)
-            merged = type(merged)(
+        if dd % 2:
+            odd = pt_type(*(a[..., -1:, :] for a in cur))
+            first = add_fn(pt_type(*(a[..., :1, :] for a in merged)), odd)
+            merged = pt_type(
                 *(
-                    jnp.concatenate([f, m[..., 1:]], axis=-1)
+                    jnp.concatenate([f, m[..., 1:, :]], axis=-2)
                     for f, m in zip(first, merged)
                 )
             )
-        pts = merged
-        d = half
-    return type(pts)(*(a[..., 0] for a in pts))
+        cur = merged
+        dd = half
+    return pt_type(*(a[..., 0, :] for a in cur))
 
 
 @lru_cache(maxsize=None)
 def _sharded_affine_fns(
     W: WeierstrassOps, S: GlvScalar, mesh: Mesh, c: int, safe: bool, mode: str
 ):
-    def local_accumulate(s, px, py, pinf):
+    d = mesh.devices.size
+    F = W.F
+    acc_ops = _ProjAcc(W)
+
+    def proj_identity(k, L):
+        return (F.zeros(k, L), F.ones_mont(k, L), F.zeros(k, L))
+
+    def local_pipeline(s, px, py, pinf):
         pts = AffinePoints(px, py, pinf)
         if mode == "projective":
             sums, _empty = accumulate_glv_projective(W, S, s, pts, c)
-            return sums.X[None], sums.Y[None], sums.Z[None]
-        sums, empty = accumulate_batched_affine(W, S, s, pts, c, safe)
-        # affine bucket sums -> projective. NOTE: the identity must be the
-        # canonical (0 : 1 : 0) — the RCB complete formulas are only valid
-        # for points on the curve, and (x_garbage, y, 0) is not one.
-        F = W.F
-        batch = sums.x.shape[1:]
-        one = F.ones_mont(*batch)
-        zero = F.zeros(*batch)
-        is_id = empty | sums.inf.astype(bool)
-        x = jnp.where(is_id, zero, sums.x)
-        y = jnp.where(is_id, one, sums.y)
-        z = jnp.where(is_id, zero, one)
-        # leading device axis of size 1 per shard
-        return x[None], y[None], z[None]
+            leaves = tuple(sums)
+        else:
+            sums, empty = accumulate_batched_affine(W, S, s, pts, c, safe)
+            # affine bucket sums -> projective. NOTE: the identity must be
+            # the canonical (0 : 1 : 0) — the RCB complete formulas are only
+            # valid for points on the curve, and (x_garbage, y, 0) is not one.
+            batch = sums.x.shape[1:]
+            one = F.ones_mont(*batch)
+            zero = F.zeros(*batch)
+            is_id = empty | sums.inf.astype(bool)
+            x = jnp.where(is_id, zero, sums.x)
+            y = jnp.where(is_id, one, sums.y)
+            z = jnp.where(is_id, zero, one)
+            leaves = (x, y, z)
+
+        K, L = leaves[0].shape[-2], leaves[0].shape[-1]
+        Kp = -(-K // d) * d
+        leaves = _pad_windows(leaves, Kp, proj_identity)
+        # ICI: reduce-scatter the bucket space over the window axis
+        leaves = _redistribute_windows(leaves, d)
+        mine = _tree_add_sources(
+            lambda a, b: W.proj_add(a, b), ProjectivePoints, leaves
+        )
+        # weighted bucket reduction for THIS chip's window slice only
+        c0 = max((c - 1) // 2, 1)
+        K_loc = mine.X.shape[-2]
+        empty_loc = jnp.zeros((K_loc, L), dtype=bool)  # Z=0 encodes emptiness
+        per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
+        return tuple(per_window)  # leaves (n, K_loc)
 
     specs_in = (P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS))
-    specs_out = (P(AXIS), P(AXIS), P(AXIS))
+    specs_out = tuple([P(None, AXIS)] * 3)  # per-window sums, window-sharded
     acc = jax.jit(
         jax.shard_map(
-            local_accumulate,
-            mesh=mesh,
-            in_specs=specs_in,
-            out_specs=specs_out,
-            check_vma=False,
+            local_pipeline, mesh=mesh, in_specs=specs_in, out_specs=specs_out
         )
     )
 
-    def combine(gx, gy, gz):
-        pts = ProjectivePoints(gx, gy, gz)
-        total = _tree_reduce_axis0(lambda a, b: W.proj_add(a, b), pts)
-        return finalize_projective_buckets(W, total, c)
+    def horner(*leaves):
+        return engine.horner(
+            ProjectivePoints(*leaves), c, acc_ops.add, acc_ops.double, None
+        )
 
-    return acc, jax.jit(combine)
+    return acc, jax.jit(horner)
 
 
 def msm_batched_affine_sharded(
@@ -139,14 +193,53 @@ def msm_batched_affine_sharded(
     assert N % n_dev == 0, "pad N to a multiple of the mesh size"
     if c is None:
         c = window_size("batched-affine", max(N.bit_length() - 1, 1))
-    acc, combine = _sharded_affine_fns(W, S, mesh, c, safe, mode)
-    gx, gy, gz = acc(scalars, points.x, points.y, points.inf)  # (d, n, K, L)
-    # pull per-chip partials onto one device for the cheap tail (the analog
-    # of the reference's main-thread-only stage 3) — keeps the tail's
-    # compilation single-device instead of invoking the SPMD partitioner
+    acc, horner = _sharded_affine_fns(W, S, mesh, c, safe, mode)
+    per_window = acc(scalars, points.x, points.y, points.inf)  # (n, Kp) leaves
+    # the Horner tail is O(K*c) curve ops on a few-KB array: run it as a
+    # tiny single-device program (the analog of main-thread-only stage 3)
     dev0 = jax.sharding.SingleDeviceSharding(mesh.devices.flat[0])
-    gx, gy, gz = (jax.device_put(a, dev0) for a in (gx, gy, gz))
-    return combine(gx, gy, gz)
+    per_window = tuple(jax.device_put(a, dev0) for a in per_window)
+    return horner(*per_window)
+
+
+@lru_cache(maxsize=None)
+def _sharded_edwards_fns(E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int):
+    d = mesh.devices.size
+    F = E.F
+    acc_ops = _EdAcc(E)
+
+    def ed_identity(k, L):
+        return (F.zeros(k, L), F.ones_mont(k, L), F.ones_mont(k, L), F.zeros(k, L))
+
+    def local_pipeline(s, X, Y, Z, T):
+        pts = ExtPoints(X, Y, Z, T)
+        sums, _empty = accumulate_edwards(E, s, pts, scalar_bits, c)
+        leaves = tuple(sums)
+        K, L = leaves[0].shape[-2], leaves[0].shape[-1]
+        Kp = -(-K // d) * d
+        leaves = _pad_windows(leaves, Kp, ed_identity)
+        leaves = _redistribute_windows(leaves, d)
+        mine = _tree_add_sources(lambda a, b: E.add(a, b), ExtPoints, leaves)
+        c0 = max((c - 1) // 2, 1)
+        K_loc = mine.X.shape[-2]
+        empty_loc = jnp.zeros((K_loc, L), dtype=bool)
+        per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
+        return tuple(per_window)
+
+    specs_in = tuple([P(None, AXIS)] * 5)
+    specs_out = tuple([P(None, AXIS)] * 4)
+    acc = jax.jit(
+        jax.shard_map(
+            local_pipeline, mesh=mesh, in_specs=specs_in, out_specs=specs_out
+        )
+    )
+
+    def horner(*leaves):
+        return engine.horner(
+            ExtPoints(*leaves), c, acc_ops.add, acc_ops.double, None
+        )
+
+    return acc, jax.jit(horner)
 
 
 def msm_edwards_sharded(
@@ -162,38 +255,8 @@ def msm_edwards_sharded(
     assert N % n_dev == 0
     if c is None:
         c = window_size("edwards", max(N.bit_length() - 1, 1))
-
-    acc, combine = _sharded_edwards_fns(E, mesh, scalar_bits, c)
-    leaves = acc(scalars, *points)
+    acc, horner = _sharded_edwards_fns(E, mesh, scalar_bits, c)
+    per_window = acc(scalars, *points)
     dev0 = jax.sharding.SingleDeviceSharding(mesh.devices.flat[0])
-    leaves = tuple(jax.device_put(a, dev0) for a in leaves)
-    return combine(*leaves)
-
-
-@lru_cache(maxsize=None)
-def _sharded_edwards_fns(E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int):
-    def local_accumulate(s, X, Y, Z, T):
-        pts = ExtPoints(X, Y, Z, T)
-        sums, _empty = accumulate_edwards(E, s, pts, scalar_bits, c)
-        return tuple(a[None] for a in sums)
-
-    specs_in = tuple([P(None, AXIS)] * 5)
-    specs_out = tuple([P(AXIS)] * 4)
-    acc = jax.jit(
-        jax.shard_map(
-            local_accumulate,
-            mesh=mesh,
-            in_specs=specs_in,
-            out_specs=specs_out,
-            check_vma=False,
-        )
-    )
-
-    def combine(*leaves):
-        pts = ExtPoints(*leaves)
-        total = _tree_reduce_axis0(lambda a, b: E.add(a, b), pts)
-        K, L = total.X.shape[-2], total.X.shape[-1]
-        empty = jnp.zeros((K, L), dtype=bool)
-        return finalize_edwards(E, total, empty, c)
-
-    return acc, jax.jit(combine)
+    per_window = tuple(jax.device_put(a, dev0) for a in per_window)
+    return horner(*per_window)

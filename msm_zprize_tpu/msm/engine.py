@@ -218,21 +218,24 @@ def accumulate_buckets_padded(
     Occupancy equalization: windows whose digits occupy fewer than L
     distinct values (the top GLV window occupies FAR fewer — its digit
     range is truncated by the scalar bound and biased small by the Babai
-    remainder distribution) get their buckets SPREAD over L virtual ids,
-    virtual = id * S_k + (point_idx mod S_k). S_k is computed from the
-    DATA: the largest power of two with max_id_k * S_k + S_k - 1 < L.
-    Shapes stay static — S is a traced (K, 1) vector, and the virtual
-    sums are re-folded to logical ids by log2(L) masked pair-fold levels
-    after accumulation. (A static bound-derived S was tried first and
-    under-spread badly: measured top-window occupancy 544 vs slot count
-    M = 128 at 2^16, forcing 5 residual rounds — 770 ms of the 838 ms
-    round-2 MSM. See scripts/accum_probe.py.)
+    remainder distribution) get their buckets SPREAD over L virtual ids.
+    Virtual bucket (id, r), r in [0, S_k), holds the points at sorted
+    positions offset[id] + r + S_k*j — i.e. spreading is by WITHIN-BUCKET
+    RANK, which balances deterministically: occupancy is exactly
+    ceil(count_id / S_k) (an earlier index-residue spread
+    `id*S + (i & (S-1))` left binomial noise — measured max 158 vs the
+    124 ideal at 2^16, tripping a ~150 ms residual round for ~1k points).
+    S_k is computed from the DATA: the largest power of two with
+    max_id_k * S_k + S_k - 1 < L. Shapes stay static — S is a traced
+    (K, 1) vector, the mapping is pure index arithmetic post-sort, and
+    the virtual sums are re-folded to logical ids by log2(L) masked
+    pair-fold levels after accumulation.
 
-    Residual rounds: counts above M are handled by a lax.while_loop over
-    further M-slot rounds — rarely entered now (only for adversarial
-    digit distributions, e.g. many duplicate scalars), and correct
-    (though linear-time) for those; cf. the safe/halving path which stays
-    O(log) in the worst case.
+    Residual rounds: occupancies above M are handled by a lax.while_loop
+    over further M-slot rounds — entered only for adversarial digit
+    distributions (e.g. many duplicate scalars), and correct (though
+    linear-time) for those; cf. the safe/halving path which stays O(log)
+    in the worst case.
 
     Returns accumulator leaves (.., K, L); empty buckets hold the identity.
     """
@@ -244,51 +247,61 @@ def accumulate_buckets_padded(
     for sh in (1, 2, 4, 8, 16):
         t = t | (t >> sh)
     S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (K, 1) pow2 in [1, L]
-    iota = jnp.arange(B, dtype=jnp.int32)[None, :]
-    virt = ids * S + (iota & (S - 1))
-    ids = jnp.where(ids == L, L, virt)
+    log2S = jax.lax.population_count(S - 1)  # (K, 1)
 
     order, sorted_ids = sort_by_bucket(ids)
-    counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L)
+    counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L) per ORIGINAL id
     offsets = jnp.cumsum(counts, axis=-1) - counts
-    ends = offsets + counts
-    max_count = jnp.max(counts)
+    # per-virtual-bucket occupancy bound: ceil(count/S) (deterministic)
+    max_occ = jnp.max((counts + S - 1) >> log2S)
 
     mean = max(B // L, 1)
     M = max(2 * mean, 2)  # power of two (B, L powers of two)
 
+    # virtual id v -> (id, r): id = v >> log2(S_k), r = v & (S_k - 1);
+    # its j-th point sits at sorted position offset[id] + r + S_k * j.
+    vid = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
+    v_id = jnp.right_shift(vid, log2S)  # (K, L)
+    v_r = vid & (S - 1)  # (K, L)
+    rowsL = jnp.arange(K, dtype=jnp.int32)[:, None] * L
+    v_off = jnp.take(offsets.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
+    v_cnt = jnp.take(counts.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
+
     order_flat = order.reshape(-1)
     signs_flat = signs.reshape(-1)
+    # slot layout (M, K, L): the slot axis is MAJOR so each tree level
+    # slices contiguous halves of the leading batch axis — the lane
+    # (minor) dimension stays K*L-wide at every level instead of
+    # shrinking 128 -> 1 through sublane/lane relayouts.
     kbase = jnp.broadcast_to(
-        (jnp.arange(K, dtype=jnp.int32) * B)[:, None, None], (K, L, M)
+        (jnp.arange(K, dtype=jnp.int32) * B)[None, :, None], (M, K, L)
     ).reshape(-1)
-    j = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+    j = jnp.arange(M, dtype=jnp.int32)[:, None, None]  # (M, 1, 1)
 
     stacked, splits, pt_type = _stack(tuple(point_leaves))
 
     def tree_reduce(leaves):
-        # (.., K*L*M) -> pairwise adds down to (.., K*L). Slot j pairs with
-        # slot j + m/2 (contiguous HALVES of the slot axis, not stride-2
-        # interleaving: a stride-2 slice of the minor dimension is a
-        # sublane/lane relayout on TPU, halves are plain contiguous reads).
+        # (.., M*K*L) -> pairwise adds down to (.., K*L). Slot-half j
+        # pairs with j + m/2 (contiguous HALVES of the major slot axis).
         # Any pairing is valid — the tree just sums all M slots — and
         # identity padding flows through the complete add.
         m = M
-        cur = tuple(a.reshape(a.shape[:-1] + (K * L, M)) for a in leaves)
+        cur = tuple(a.reshape(a.shape[:-1] + (M, K * L)) for a in leaves)
         while m > 1:
             half = m // 2
             cur = pair_add(
-                tuple(a[..., :half] for a in cur),
-                tuple(a[..., half:] for a in cur),
+                tuple(a[..., :half, :] for a in cur),
+                tuple(a[..., half:, :] for a in cur),
             )
             m = half
         return tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in cur)
 
     def one_round(acc, p):
-        pos = offsets[:, :, None] + p + j  # (K, L, M)
-        valid = (pos < ends[:, :, None]).reshape(-1)
-        flat = (jnp.clip(pos, 0, B - 1)).reshape(-1) + kbase
-        src = jnp.take(order_flat, flat)  # (K*L*M,) in [0, B)
+        rank = v_r[None] + ((p + j) << log2S[None])  # (M, K, L)
+        valid = (rank < v_cnt[None]).reshape(-1)
+        pos = jnp.clip(v_off[None] + rank, 0, B - 1)
+        flat = pos.reshape(-1) + kbase
+        src = jnp.take(order_flat, flat)  # (M*K*L,) in [0, B)
         g = jnp.take(stacked, src, axis=-1)
         sg = jnp.take(signs_flat, src + kbase)
         P = prepare(_unstack(g, splits, pt_type), sg, valid)
@@ -302,7 +315,7 @@ def accumulate_buckets_padded(
 
     def cond(carry):
         _, p = carry
-        return p < max_count
+        return p < max_occ
 
     def body(carry):
         acc, p = carry

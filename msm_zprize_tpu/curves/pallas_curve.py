@@ -164,6 +164,7 @@ class CurveKernels(_KernelBase):
             "proj_add_m": self._proj_add_body(True),
             "proj_dbl": self._proj_double_body(),
             "proj_madd": self._proj_add_mixed_body(),
+            "aff_pair": self._aff_pair_add_body(),
         }
 
     # ---- the 3b constant multiply ------------------------------------------
@@ -220,7 +221,42 @@ class CurveKernels(_KernelBase):
 
         return body
 
+    def _aff_pair_add_body(self):
+        """Fused MSM level-1 kernel: two SIGNED affine slots -> projective sum.
+
+        Folds the engine's ``prepare`` step (conditional negation by the
+        digit sign + identity encoding of invalid slots) into a unit-Z
+        specialization of RCB Alg. 7: with Z in {0, 1} the three Z-products
+        degenerate to selects, leaving 9 Montgomery muls instead of 12 —
+        and the prepared projective level-1 operands never round-trip
+        through HBM."""
+        ctx = self.ctx
+
+        def body(x1r, y1r, s1r, v1r, x2r, y2r, s2r, v2r, xo, yo, zo):
+            # inputs are RAW base-point coordinates: packed points are
+            # canonical [0, p) and the endomorphism map emits [0, 2p) —
+            # the tighter bound (vs the 4p storage contract) is what keeps
+            # the specialized formula's X3 inside the output contract
+            rd = lambda r: pf.fv_stored(ctx, r[...], vmax=2 * ctx.p - 1)
+            P1 = (rd(x1r), rd(y1r), s1r[0], v1r[0])
+            P2 = (rd(x2r), rd(y2r), s2r[0], v2r[0])
+            out = rcb7_unitz(ctx, self._mul_b3, self.b3_mont, *P1, *P2)
+            for r, o in zip((xo, yo, zo), out):
+                _write(ctx, r, o)
+
+        return body
+
     # ---- public entry points ----------------------------------------------
+
+    def aff_pair_add(self, x1, y1, s1, v1, x2, y2, s2, v2):
+        """(sign s1, valid v1) applied to affine (x1, y1), same for operand 2,
+        then complete add -> projective (X3, Y3, Z3). Invalid slots act as
+        the identity."""
+        ins = (
+            x1, y1, s1.astype(jnp.int32), v1.astype(jnp.int32),
+            x2, y2, s2.astype(jnp.int32), v2.astype(jnp.int32),
+        )
+        return self._call(self._bodies["aff_pair"], ins, 3, "aff_pair")
 
     def proj_add(self, X1, Y1, Z1, X2, Y2, Z2, mask=None):
         """Complete projective add; with ``mask`` lanes where mask==0 return
@@ -366,6 +402,61 @@ def rcb9(ctx, mul_b3, X1, Y1, Z1):
     Y3 = A(X3, M(t0, Y3))
     t1 = M(X1, Y1)
     X3 = pf.f_double(ctx, M(t0, t1))
+    return X3, Y3, Z3
+
+
+def rcb7_unitz(ctx, mul_b3, b3_mont, x1, y1, s1, v1, x2, y2, s2, v2):
+    """RCB Alg. 7 specialized to unit-Z operands (Z in {0, 1}).
+
+    Operand i is the affine point (xi, (-1)^si * yi) when vi != 0 and the
+    identity when vi == 0. With Zi = vi the three Z-involving products of
+    the complete add degenerate:
+
+        Z1*Z2                  -> select(v1 & v2, 1, 0)
+        (Y1+Z1)(Y2+Z2)-t1-t2   =  Y1*Z2 + Z1*Y2 -> selects
+        (X1+Z1)(X2+Z2)-t0-t2   =  X1*Z2 + Z1*X2 -> selects
+
+    leaving 9 Montgomery muls (12 in the general form); 3b*Z1*Z2 becomes a
+    select of the baked constant b3_mont (value < p, which keeps the bound
+    chain to X3 inside the storage contract). Completeness is preserved:
+    the identity encoding (0 : 1 : 0) is forced in-formula for invalid
+    lanes, so inputs to the RCB algebra are always curve points.
+
+    Input coordinates must be bounded by 2p (raw packed/endomorphism
+    points), not the general 4p storage bound."""
+    M, A, S = (
+        lambda a, b: pf.mont_mul(ctx, a, b),
+        lambda a, b: pf.f_add(ctx, a, b),
+        lambda a, b: pf.f_sub(ctx, a, b),
+    )
+    one = pf.fv_const(ctx, ctx.one_mont, x1)
+    zero = pf.fv_zero(ctx, x1)
+    b3c = pf.fv_const(ctx, b3_mont, x1)
+    X1 = pf.f_select(v1, x1, zero)
+    Y1 = pf.f_select(v1, pf.f_cneg(ctx, y1, s1), one)
+    X2 = pf.f_select(v2, x2, zero)
+    Y2 = pf.f_select(v2, pf.f_cneg(ctx, y2, s2), one)
+    both = v1 * v2
+
+    t0 = M(X1, X2)
+    t1 = M(Y1, Y2)
+    t3 = M(A(X1, Y1), A(X2, Y2))
+    t3 = S(t3, A(t0, t1))
+    t4 = A(pf.f_select(v2, Y1, zero), pf.f_select(v1, Y2, zero))
+    Y3 = A(pf.f_select(v2, X1, zero), pf.f_select(v1, X2, zero))
+    t0 = A(A(t0, t0), t0)
+    t2 = pf.f_select(both, b3c, zero)  # 3b * Z1 * Z2
+    Z3 = A(t1, t2)
+    t1 = S(t1, t2)
+    Y3s = mul_b3(Y3)
+    if Y3s.vmax > 16 * ctx.p:
+        # large 3b (small fields): the limbwise small-mul bound would push
+        # X3 past the storage contract — use a constant Montgomery mul
+        Y3s = pf.mont_mul_const(ctx, Y3, b3_mont)
+    Y3 = Y3s
+    X3 = S(M(t3, t1), M(t4, Y3))
+    Y3 = A(M(t1, Z3), M(Y3, t0))
+    Z3 = A(M(Z3, t4), M(t0, t3))
     return X3, Y3, Z3
 
 

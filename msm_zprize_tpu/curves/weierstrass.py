@@ -282,6 +282,28 @@ class WeierstrassOps:
         out = ProjectivePoints(X3, Y3, Z3)
         return select(Q.inf.astype(bool), P, out)
 
+    def aff_pair_add(self, x1, y1, s1, v1, x2, y2, s2, v2) -> ProjectivePoints:
+        """Complete add of two SIGNED affine slots: operand i is
+        ((-1)^si * (xi, yi)) when vi, else the identity. The MSM padded
+        engine's fused level-1 op — on TPU one 9-mul unit-Z kernel
+        (`pallas_curve.rcb7_unitz`), folding the sign/identity encoding
+        that the engine's ``prepare`` step would otherwise materialize."""
+        if self._use_kernels(x1, y1, x2, y2):
+            return ProjectivePoints(
+                *self.kernels.aff_pair_add(x1, y1, s1, v1, x2, y2, s2, v2)
+            )
+        F = self.F
+
+        def prep(x, y, s, v):
+            one = F.ones_mont(*x.shape[1:])
+            yv = F.cneg(y, s)
+            X = jnp.where(v, x, jnp.zeros_like(x))
+            Y = jnp.where(v, yv, one)
+            Z = jnp.where(v, one, jnp.zeros_like(one))
+            return ProjectivePoints(X, Y, Z)
+
+        return self.proj_add(prep(x1, y1, s1, v1), prep(x2, y2, s2, v2))
+
     def proj_scale_const(self, k: int, P: ProjectivePoints) -> ProjectivePoints:
         """k*P for a static Python-int k (double-and-add, unrolled)."""
         R = None

@@ -52,20 +52,27 @@ def glv_prep(W: WeierstrassOps, S: GlvScalar, scalars, points: AffinePoints, c: 
     K = default_windows(S.max_bits, c)
     L = 1 << (c - 1)
 
-    # --- prep 1: GLV decompose + endomorphism expansion (2N points) ---
-    sg0, u0, sg1, u1 = S.decompose(scalars)
+    # --- prep 1+2: GLV decompose + signed-digit slicing of both halves ---
+    # (one fused Pallas pass on TPU; jnp reference path elsewhere — the two
+    # are bit-identical and cross-checked in tests/test_pallas_scalar.py)
+    from ..fields.fp import _montmul_impl
+
     endo = W.endomorphism(points)
     pts2 = AffinePoints(
         jnp.concatenate([points.x, endo.x], axis=-1),
         jnp.concatenate([points.y, endo.y], axis=-1),
         jnp.concatenate([points.inf, endo.inf], axis=-1),
     )
+    if _montmul_impl() == "pallas":
+        from ..fields.pallas_scalar import glv_digits_pallas
 
-    # --- prep 2: signed-digit slicing of both halves ---
-    m0, s0 = signed_digits(u0, c, K, S.w, scalar_sign=sg0)
-    m1, s1 = signed_digits(u1, c, K, S.w, scalar_sign=sg1)
-    mags = jnp.concatenate([m0, m1], axis=-1)  # (K, 2N)
-    signs = jnp.concatenate([s0, s1], axis=-1)
+        mags, signs = glv_digits_pallas(S, scalars, c, K)
+    else:
+        sg0, u0, sg1, u1 = S.decompose(scalars)
+        m0, s0 = signed_digits(u0, c, K, S.w, scalar_sign=sg0)
+        m1, s1 = signed_digits(u1, c, K, S.w, scalar_sign=sg1)
+        mags = jnp.concatenate([m0, m1], axis=-1)  # (K, 2N)
+        signs = jnp.concatenate([s0, s1], axis=-1)
 
     # points with infinity flag never contribute: zero their digits
     inf2 = pts2.inf.astype(bool)[None, :]
@@ -175,10 +182,14 @@ def accumulate_glv_projective(
     def zero_like(K_, L_):
         return (F.zeros(K_, L_), F.ones_mont(K_, L_), F.zeros(K_, L_))
 
+    def pair_level1(a, b, sa, sb, va, vb):
+        return tuple(W.aff_pair_add(a[0], a[1], sa, va, b[0], b[1], sb, vb))
+
     # per-window occupancy equalization is handled inside the engine
     # (data-derived spread factors; see accumulate_buckets_padded)
     sums = engine.accumulate_buckets_padded(
         (pts2.x, pts2.y), mags, signs, L, pair_add, prepare, zero_like,
+        pair_level1=pair_level1,
     )
     empty = jnp.zeros((K, L), dtype=bool)  # Z=0 encodes emptiness
     return ProjectivePoints(*sums), empty

@@ -49,7 +49,7 @@ def default_windows(scalar_bits: int, c: int) -> int:
     return -(-(scalar_bits + 1) // c)
 
 
-def sort_by_bucket(digits):
+def sort_by_bucket(digits, payload=None):
     """Sort digit rows, carrying the permutation as a payload.
 
     digits: (K, B) int32 bucket ids. Returns (order, sorted_digits) both
@@ -58,11 +58,16 @@ def sort_by_bucket(digits):
     O(B log B) data movement per window (the analog of the reference's
     counting sort, `msm-batched-affine.ts:444`). Unstable: bucket contents
     may pair in any order, which curve addition doesn't care about.
+
+    ``payload`` overrides the default position payload (used to ride extra
+    per-point bits — e.g. the digit sign — through the sort so downstream
+    consumers need ONE gather instead of two).
     """
     K, B = digits.shape
-    iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (K, B))
+    if payload is None:
+        payload = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (K, B))
     sorted_digits, order = jax.lax.sort(
-        [digits, iota], dimension=1, num_keys=1, is_stable=False
+        [digits, payload], dimension=1, num_keys=1, is_stable=False
     )
     return order, sorted_digits
 

@@ -191,6 +191,7 @@ def accumulate_buckets_padded(
     pair_add,
     prepare,
     zero_like,
+    pair_level1=None,
 ):
     """Bucket accumulation via a PADDED (window, bucket, slot) layout.
 
@@ -237,9 +238,19 @@ def accumulate_buckets_padded(
     linear-time) for those; cf. the safe/halving path which stays O(log)
     in the worst case.
 
+    ``pair_level1``, when given, fuses sign application + identity
+    encoding + the FIRST tree level into one call:
+    pair_level1(leaves_a, leaves_b, sign_a, sign_b, valid_a, valid_b) ->
+    accumulator-form leaves of the pairwise sums (e.g. the unit-Z RCB
+    kernel, `curves/pallas_curve.py::rcb7_unitz` — 9 muls instead of
+    12 and no HBM round-trip for the prepared operands). The digit sign
+    bit rides the sort payload (bit 30), so each round needs ONE index
+    gather instead of separate position and sign gathers.
+
     Returns accumulator leaves (.., K, L); empty buckets hold the identity.
     """
     K, B = digits.shape
+    assert B < (1 << 30), "sort payload packs position | sign << 30"
     ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
 
     max_id = jnp.max(jnp.where(ids == L, 0, ids), axis=1)  # (K,)
@@ -249,7 +260,23 @@ def accumulate_buckets_padded(
     S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (K, 1) pow2 in [1, L]
     log2S = jax.lax.population_count(S - 1)  # (K, 1)
 
-    order, sorted_ids = sort_by_bucket(ids)
+    iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (K, B))
+    pos_bits = max((B - 1).bit_length(), 1)
+    id_bits = (L + 1).bit_length()  # ids range [0, L] inclusive (sentinel)
+    if id_bits + 1 + pos_bits <= 31:
+        # pack (id, sign, position) into ONE int32 key: a single-operand
+        # lax.sort is ~40% cheaper than key+payload, and the sign rides
+        # along for free. Feasible whenever c + log2(B) fits the budget
+        # (e.g. 2^16 points at c <= 13).
+        sign_shift = pos_bits
+        key = (ids << (pos_bits + 1)) | (signs.astype(jnp.int32) << pos_bits) | iota
+        key = jax.lax.sort(key, dimension=1, is_stable=False)
+        sorted_ids = key >> (pos_bits + 1)
+        order = key & ((1 << (pos_bits + 1)) - 1)  # sign@pos_bits | position
+    else:
+        sign_shift = 30
+        payload = iota | (signs.astype(jnp.int32) << 30)
+        order, sorted_ids = sort_by_bucket(ids, payload)
     counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L) per ORIGINAL id
     offsets = jnp.cumsum(counts, axis=-1) - counts
     # per-virtual-bucket occupancy bound: ceil(count/S) (deterministic)
@@ -267,8 +294,7 @@ def accumulate_buckets_padded(
     v_off = jnp.take(offsets.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
     v_cnt = jnp.take(counts.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
 
-    order_flat = order.reshape(-1)
-    signs_flat = signs.reshape(-1)
+    order_flat = order.reshape(-1)  # packed position | sign << 30
     # slot layout (M, K, L): the slot axis is MAJOR so each tree level
     # slices contiguous halves of the leading batch axis — the lane
     # (minor) dimension stays K*L-wide at every level instead of
@@ -277,16 +303,15 @@ def accumulate_buckets_padded(
         (jnp.arange(K, dtype=jnp.int32) * B)[None, :, None], (M, K, L)
     ).reshape(-1)
     j = jnp.arange(M, dtype=jnp.int32)[:, None, None]  # (M, 1, 1)
+    POS_MASK = (1 << sign_shift) - 1
 
     stacked, splits, pt_type = _stack(tuple(point_leaves))
 
-    def tree_reduce(leaves):
-        # (.., M*K*L) -> pairwise adds down to (.., K*L). Slot-half j
-        # pairs with j + m/2 (contiguous HALVES of the major slot axis).
-        # Any pairing is valid — the tree just sums all M slots — and
-        # identity padding flows through the complete add.
-        m = M
-        cur = tuple(a.reshape(a.shape[:-1] + (M, K * L)) for a in leaves)
+    def tree_from(cur, m: int):
+        # cur: accumulator leaves (.., m, K*L); pairwise adds down to 1.
+        # Slot-half j pairs with j + m/2 (contiguous HALVES of the major
+        # slot axis). Any pairing is valid — the tree just sums all slots —
+        # and identity padding flows through the complete add.
         while m > 1:
             half = m // 2
             cur = pair_add(
@@ -301,11 +326,24 @@ def accumulate_buckets_padded(
         valid = (rank < v_cnt[None]).reshape(-1)
         pos = jnp.clip(v_off[None] + rank, 0, B - 1)
         flat = pos.reshape(-1) + kbase
-        src = jnp.take(order_flat, flat)  # (M*K*L,) in [0, B)
+        src2 = jnp.take(order_flat, flat)  # (M*K*L,) packed pos|sign
+        src = src2 & POS_MASK
+        sg = src2 >> sign_shift
         g = jnp.take(stacked, src, axis=-1)
-        sg = jnp.take(signs_flat, src + kbase)
-        P = prepare(_unstack(g, splits, pt_type), sg, valid)
-        sums = tree_reduce(tuple(P))
+        leaves = _unstack(g, splits, pt_type)
+        if pair_level1 is not None:
+            # fused sign+identity+first-level kernel: M -> M/2 slots
+            half = M // 2
+            hsz = half * K * L
+            a = tuple(x[..., :hsz] for x in leaves)
+            b = tuple(x[..., hsz:] for x in leaves)
+            P = pair_level1(a, b, sg[:hsz], sg[hsz:], valid[:hsz], valid[hsz:])
+            cur = tuple(x.reshape(x.shape[:-1] + (half, K * L)) for x in P)
+            sums = tree_from(cur, half)
+        else:
+            P = prepare(leaves, sg, valid)
+            cur = tuple(x.reshape(x.shape[:-1] + (M, K * L)) for x in P)
+            sums = tree_from(cur, M)
         return pair_add(acc, sums)
 
     vma = vma_of(digits)

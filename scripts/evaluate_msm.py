@@ -49,22 +49,32 @@ def main():
     cmin = args.cmin or max(4, c_default - 2)
     cmax = args.cmax or c_default + 2
 
+    from msm_zprize_tpu.utils.sync import sync
+
+    dev = jax.devices()[0]
     points = curve.random_points_fast(N, seed=1)
     jax.block_until_ready(points)
-    scalars = curve.random_scalars(N, seed=2)
+    # device-resident scalar sets; sync() readback (the axon tunnel returns
+    # from block_until_ready without waiting) — same method as bench.py
+    scalar_sets = [
+        jax.device_put(curve.random_scalars(N, seed=10 + r), dev)
+        for r in range(args.runs + 1)
+    ]
+    sync([s[:1, :1] for s in scalar_sets])
 
     best = (None, float("inf"))
     for c in range(cmin, cmax + 1):
-        curve.msm(scalars, points, c=c)  # compile + warmup
+        t0 = time.time()
+        sync(curve.msm(scalar_sets[0], points, c=c))  # compile + warmup
+        sys.stderr.write(f"[c={c}] compile+1st {time.time()-t0:.1f}s\n")
         ts = []
         for r in range(args.runs):
-            s = curve.random_scalars(N, seed=10 + r)
             t0 = time.time()
-            jax.block_until_ready(curve.msm(s, points, c=c))
+            sync(curve.msm(scalar_sets[1 + r], points, c=c))
             ts.append(time.time() - t0)
         med = statistics.median(ts)
         star = " *default" if c == c_default else ""
-        print(f"c={c:2d}: {med*1e3:9.1f} ms{star}")
+        print(f"c={c:2d}: {med*1e3:9.1f} ms{star}", flush=True)
         if med < best[1]:
             best = (c, med)
     print(f"best: c={best[0]} ({best[1]*1e3:.1f} ms)")

@@ -133,8 +133,31 @@ def _curve_call(*arrs, fn, n_out, n, interpret, name):
 
 
 class _KernelBase:
+    codec = None  # storage codec (e.g. Fma51Codec); None = native w-bit limbs
+
+    @property
+    def rows(self) -> int:
+        return self.codec.rows if self.codec is not None else self.ctx.n
+
+    def _rd(self, ref, vmax: int | None = None):
+        """Read a stored field value from a kernel ref -> FV."""
+        if self.codec is not None:
+            rows = [ref[i] for i in range(self.codec.rows)]
+            return self.codec.decode(
+                self.ctx, rows, 2 * self.ctx.p - 1 if vmax is None else vmax
+            )
+        return pf.fv_stored(self.ctx, ref[...], vmax=vmax)
+
+    def _wr(self, ref, x):
+        if self.codec is not None:
+            rows = self.codec.encode(self.ctx, x)
+            for r in range(self.codec.rows):
+                ref[r] = rows[r]
+            return
+        _write(self.ctx, ref, x)
+
     def _call(self, body, ins, n_out, name):
-        n = self.ctx.n
+        n = self.rows
         flat, batch, size = _pad_flat(list(ins), n, BLOCK)
         outs = _curve_call(
             *flat, fn=body, n_out=n_out, n=n, interpret=self.interpret, name=name
@@ -151,14 +174,18 @@ class CurveKernels(_KernelBase):
     """
 
     def __init__(self, p: int, w: int, n: int, b3_mont: int, b3_small: int | None,
-                 interpret: bool = False):
+                 interpret: bool = False, codec=None):
         """b3_small: plain-integer 3b if small (multiplication by a small
         integer is representation-agnostic: 3b*(xR) = (3b*x)R), else None and
-        b3_mont (3b in Montgomery form) is used with a full constant mul."""
+        b3_mont (3b in Montgomery form) is used with a full constant mul.
+        codec: optional storage codec (e.g. `fields.fma51_pallas.Fma51Codec`)
+        — coordinates then live in the codec's row layout in HBM and are
+        decoded/encoded at the kernel boundary."""
         self.ctx = FieldCtx(p, w, n)
         self.b3_mont = b3_mont
         self.b3_small = b3_small if (b3_small or 0) < _SMALL_3B_LIMIT else None
         self.interpret = interpret
+        self.codec = codec
         self._bodies = {
             "proj_add": self._proj_add_body(False),
             "proj_add_m": self._proj_add_body(True),
@@ -184,14 +211,14 @@ class CurveKernels(_KernelBase):
                 (x1r, y1r, z1r, x2r, y2r, z2r, mr, xo, yo, zo) = refs
             else:
                 (x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo) = refs
-            P1 = [_read(ctx, r) for r in (x1r, y1r, z1r)]
-            P2 = [_read(ctx, r) for r in (x2r, y2r, z2r)]
+            P1 = [self._rd(r) for r in (x1r, y1r, z1r)]
+            P2 = [self._rd(r) for r in (x2r, y2r, z2r)]
             out = rcb7(ctx, self._mul_b3, *P1, *P2)
             if masked:
                 m = mr[0]
                 out = [pf.f_select(m, o, a) for o, a in zip(out, P1)]
             for r, o in zip((xo, yo, zo), out):
-                _write(ctx, r, o)
+                self._wr(r, o)
 
         return body
 
@@ -199,10 +226,10 @@ class CurveKernels(_KernelBase):
         ctx = self.ctx
 
         def body(x1r, y1r, z1r, xo, yo, zo):
-            P1 = [_read(ctx, r) for r in (x1r, y1r, z1r)]
+            P1 = [self._rd(r) for r in (x1r, y1r, z1r)]
             out = rcb9(ctx, self._mul_b3, *P1)
             for r, o in zip((xo, yo, zo), out):
-                _write(ctx, r, o)
+                self._wr(r, o)
 
         return body
 
@@ -211,13 +238,13 @@ class CurveKernels(_KernelBase):
         ctx = self.ctx
 
         def body(x1r, y1r, z1r, x2r, y2r, infr, xo, yo, zo):
-            P1 = [_read(ctx, r) for r in (x1r, y1r, z1r)]
-            X2, Y2 = _read(ctx, x2r), _read(ctx, y2r)
+            P1 = [self._rd(r) for r in (x1r, y1r, z1r)]
+            X2, Y2 = self._rd(x2r), self._rd(y2r)
             inf2 = infr[0]
             out = rcb8(ctx, self._mul_b3, *P1, X2, Y2)
             out = [pf.f_select(inf2, a, o) for o, a in zip(out, P1)]
             for r, o in zip((xo, yo, zo), out):
-                _write(ctx, r, o)
+                self._wr(r, o)
 
         return body
 
@@ -237,12 +264,12 @@ class CurveKernels(_KernelBase):
             # canonical [0, p) and the endomorphism map emits [0, 2p) —
             # the tighter bound (vs the 4p storage contract) is what keeps
             # the specialized formula's X3 inside the output contract
-            rd = lambda r: pf.fv_stored(ctx, r[...], vmax=2 * ctx.p - 1)
+            rd = lambda r: self._rd(r, vmax=2 * ctx.p - 1)
             P1 = (rd(x1r), rd(y1r), s1r[0], v1r[0])
             P2 = (rd(x2r), rd(y2r), s2r[0], v2r[0])
             out = rcb7_unitz(ctx, self._mul_b3, self.b3_mont, *P1, *P2)
             for r, o in zip((xo, yo, zo), out):
-                _write(ctx, r, o)
+                self._wr(r, o)
 
         return body
 
@@ -305,14 +332,14 @@ class EdwardsKernels(_KernelBase):
             else:
                 (x1r, y1r, z1r, t1r, x2r, y2r, z2r, t2r,
                  xo, yo, zo, to) = refs
-            P1 = [_read(ctx, r) for r in (x1r, y1r, z1r, t1r)]
-            P2 = [_read(ctx, r) for r in (x2r, y2r, z2r, t2r)]
+            P1 = [self._rd(r) for r in (x1r, y1r, z1r, t1r)]
+            P2 = [self._rd(r) for r in (x2r, y2r, z2r, t2r)]
             out = hwcd3(ctx, kc, *P1, *P2)
             if masked:
                 m = mr[0]
                 out = [pf.f_select(m, o, p1) for o, p1 in zip(out, P1)]
             for r, o in zip((xo, yo, zo, to), out):
-                _write(ctx, r, o)
+                self._wr(r, o)
 
         return body
 

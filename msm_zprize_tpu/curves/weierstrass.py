@@ -102,6 +102,20 @@ class WeierstrassOps:
 
         return _montmul_impl() == "pallas"
 
+    # ---- representation hooks (overridden by the 51x5 storage variant) ---
+
+    def coord_zeros(self, *batch):
+        """Zero field element in this ops object's coordinate storage."""
+        return self.F.zeros(*batch)
+
+    def coord_ones(self, *batch):
+        """Montgomery one in coordinate storage."""
+        return self.F.ones_mont(*batch)
+
+    def coord_cneg(self, y, flag):
+        """Conditional negation in coordinate storage."""
+        return self.F.cneg(y, flag)
+
     # ---- constructors ----------------------------------------------------
 
     def affine_zeros(self, B: int) -> AffinePoints:

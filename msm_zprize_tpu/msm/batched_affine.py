@@ -161,12 +161,11 @@ def accumulate_glv_projective(
     sums (identity = Z=0 encodes emptiness) plus an all-False empty mask.
     """
     pts2, mags, signs, K, L = glv_prep(W, S, scalars, points, c)
-    F = W.F
 
     def prepare(leaves, flag, valid):
         x, y = leaves
-        y = F.cneg(y, flag)
-        one = F.ones_mont(*y.shape[1:])
+        y = W.coord_cneg(y, flag)
+        one = W.coord_ones(*y.shape[1:])
         # exact identity (0 : 1 : 0) on invalid lanes — RCB completeness
         # requires inputs to be curve points, and clamped-gather garbage
         # with Z=0 is not one
@@ -180,7 +179,11 @@ def accumulate_glv_projective(
         return tuple(out)
 
     def zero_like(K_, L_):
-        return (F.zeros(K_, L_), F.ones_mont(K_, L_), F.zeros(K_, L_))
+        return (
+            W.coord_zeros(K_, L_),
+            W.coord_ones(K_, L_),
+            W.coord_zeros(K_, L_),
+        )
 
     def pair_level1(a, b, sa, sb, va, vb):
         return tuple(W.aff_pair_add(a[0], a[1], sa, va, b[0], b[1], sb, vb))
@@ -207,13 +210,16 @@ def finalize_affine_buckets(W: WeierstrassOps, sums, empty, c: int) -> Projectiv
 
 class _ProjAcc(NamedTuple):
     """Projective accumulators fed by projective bucket points (used on the
-    multi-chip path, where cross-chip combination leaves buckets projective)."""
+    multi-chip path, where cross-chip combination leaves buckets projective).
+    Representation-agnostic: works for native and 51x5 coordinate storage."""
 
     W: WeierstrassOps
 
     def zero(self, *batch):
-        F = self.W.F
-        return ProjectivePoints(F.zeros(*batch), F.ones_mont(*batch), F.zeros(*batch))
+        W = self.W
+        return ProjectivePoints(
+            W.coord_zeros(*batch), W.coord_ones(*batch), W.coord_zeros(*batch)
+        )
 
     def add_point(self, acc, pt, mask):
         return self.W.proj_add(acc, pt)

@@ -105,15 +105,40 @@ class Weierstrass:
         )
         return scalars, points
 
+    @property
+    def ops51(self):
+        """51x5-storage curve ops (only for p < 2^255 - 2^206; BASELINE
+        config #5 — the Pallas curve's float-limb track on device)."""
+        if getattr(self, "_ops51", None) is None:
+            from ..curves.weierstrass51 import Fma51WeierstrassOps
+
+            self._ops51 = Fma51WeierstrassOps(self.params)
+        return self._ops51
+
     def _jitted_msm(self, c: int | None, safe: bool, mode: str):
         key = ("msm", c, safe, mode)
         if key not in self._jit_cache:
+            if mode == "fma51":
+                W51 = self.ops51
 
-            def fn(s, px, py, pinf):
-                return msm_batched_affine(
-                    self.ops, self.scalar, s, AffinePoints(px, py, pinf), c,
-                    safe=safe, mode=mode,
-                )
+                def fn(s, px, py, pinf):
+                    pts = AffinePoints(
+                        W51.from_native(px), W51.from_native(py), pinf
+                    )
+                    res = msm_batched_affine(
+                        W51, self.scalar, s, pts, c, safe=safe, mode="projective"
+                    )
+                    return ProjectivePoints(
+                        *(W51.to_native(a) for a in res)
+                    )
+
+            else:
+
+                def fn(s, px, py, pinf):
+                    return msm_batched_affine(
+                        self.ops, self.scalar, s, AffinePoints(px, py, pinf), c,
+                        safe=safe, mode=mode,
+                    )
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
@@ -131,11 +156,24 @@ class Weierstrass:
         mult = mesh.devices.size if mesh is not None else 1
         scalars, points = self._pad(scalars, points, mult)
         if mesh is not None:  # mesh path manages its own (cached) jits
-            return mesh_mod.msm_batched_affine_sharded(
-                self.ops, self.scalar, mesh, scalars, points, c, safe=True, mode=mode
-            )
+            return self._mesh_msm(scalars, points, c, True, mode, mesh)
         fn = self._jitted_msm(c, True, mode)
         return fn(scalars, points.x, points.y, points.inf)
+
+    def _mesh_msm(self, scalars, points, c, safe, mode, mesh):
+        if mode == "fma51":
+            W51 = self.ops51
+            pts51 = AffinePoints(
+                W51.from_native(points.x), W51.from_native(points.y), points.inf
+            )
+            res = mesh_mod.msm_batched_affine_sharded(
+                W51, self.scalar, mesh, scalars, pts51, c,
+                safe=safe, mode="projective",
+            )
+            return ProjectivePoints(*(W51.to_native(a) for a in res))
+        return mesh_mod.msm_batched_affine_sharded(
+            self.ops, self.scalar, mesh, scalars, points, c, safe=safe, mode=mode
+        )
 
     def msm_unsafe(
         self,
@@ -152,9 +190,7 @@ class Weierstrass:
         mult = mesh.devices.size if mesh is not None else 1
         scalars, points = self._pad(scalars, points, mult)
         if mesh is not None:
-            return mesh_mod.msm_batched_affine_sharded(
-                self.ops, self.scalar, mesh, scalars, points, c, safe=False, mode=mode
-            )
+            return self._mesh_msm(scalars, points, c, False, mode, mesh)
         fn = self._jitted_msm(c, False, mode)
         return fn(scalars, points.x, points.y, points.inf)
 

@@ -117,11 +117,10 @@ def _sharded_affine_fns(
     W: WeierstrassOps, S: GlvScalar, mesh: Mesh, c: int, safe: bool, mode: str
 ):
     d = mesh.devices.size
-    F = W.F
     acc_ops = _ProjAcc(W)
 
     def proj_identity(k, L):
-        return (F.zeros(k, L), F.ones_mont(k, L), F.zeros(k, L))
+        return (W.coord_zeros(k, L), W.coord_ones(k, L), W.coord_zeros(k, L))
 
     def local_pipeline(s, px, py, pinf):
         pts = AffinePoints(px, py, pinf)
@@ -129,6 +128,7 @@ def _sharded_affine_fns(
             sums, _empty = accumulate_glv_projective(W, S, s, pts, c)
             leaves = tuple(sums)
         else:
+            F = W.F
             sums, empty = accumulate_batched_affine(W, S, s, pts, c, safe)
             # affine bucket sums -> projective. NOTE: the identity must be
             # the canonical (0 : 1 : 0) — the RCB complete formulas are only

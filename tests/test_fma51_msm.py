@@ -1,0 +1,30 @@
+"""End-to-end MSM with 51x5 coordinate storage (mode="fma51") vs oracle.
+
+BASELINE config #5's correctness leg: the Pallas curve's flagship MSM with
+points held in the reference's 5x51-bit limb layout throughout, computed by
+the codec-parameterized fused kernels (interpret mode on the CPU host).
+"""
+
+import random
+
+from msm_zprize_tpu.bigint.msm import msm as msm_oracle
+from msm_zprize_tpu.curves.params import PALLAS
+from msm_zprize_tpu.parallel.api import Weierstrass
+
+
+def test_fma51_msm_vs_oracle():
+    curve = Weierstrass.create(PALLAS)
+    rng = random.Random(11)
+    N = 16
+    pts = [curve.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(PALLAS.order) for _ in range(N)]
+    scs[:3] = [0, 1, PALLAS.order - 1]
+    s = curve.scalars_from_ints(scs)
+    p = curve.points_from_ints(pts)
+    res = curve.msm(s, p, c=6, mode="fma51")
+    got = curve.result_to_int(res)
+    C = curve.oracle_projective
+    want = C.to_affine(
+        msm_oracle(C, scs, [C.from_affine(q) for q in pts], 255)
+    )
+    assert got == want

@@ -148,6 +148,51 @@ class EdwardsOps:
             return self.zeros(P.X.shape[-1])
         return R
 
+    def _scale_bits(self, bits, P: ExtPoints) -> ExtPoints:
+        """Masked double-and-add over a bit array (LSB-first) as ONE
+        lax.scan — O(1) trace for big constants and runtime scalars."""
+        import jax
+
+        from ..utils.vma import pvary_like, vma_of
+
+        def body(carry, bit):
+            acc, Q = carry
+            stepped = self.add(acc, Q)
+            acc = ExtPoints(
+                *(jnp.where(bit.astype(bool), s, a) for s, a in zip(stepped, acc))
+            )
+            Q = self.double(Q)
+            return (acc, Q), None
+
+        zero = self.zeros(P.X.shape[-1])
+        init = pvary_like((zero, P), vma_of(*P))
+        (acc, _), _ = jax.lax.scan(body, init, bits)
+        return acc
+
+    def scale_dyn(self, k_limbs, P: ExtPoints) -> ExtPoints:
+        """k*P for a RUNTIME scalar limb vector (`curve-twisted-edwards.ts`
+        scale): per-bit masked double-and-add, branch-free."""
+        w = 12
+        n_k = k_limbs.shape[0]
+        idx = jnp.arange(n_k * w, dtype=jnp.int32)
+        bits = (k_limbs[idx // w] >> (idx % w)[:, None]) & 1  # (bits, B)
+        return self._scale_bits(bits, P)
+
+    def _static_bits(self, k: int):
+        return jnp.asarray(
+            np.array([(k >> i) & 1 for i in range(max(k.bit_length(), 1))],
+                     dtype=np.int32)
+        )
+
+    def is_in_subgroup(self, P: ExtPoints):
+        """order * P == identity, on device (cofactor ops were previously
+        oracle-only; cf. `curve-twisted-edwards.ts:232-262`)."""
+        return self.is_zero(self._scale_bits(self._static_bits(self.params.order), P))
+
+    def to_subgroup(self, P: ExtPoints) -> ExtPoints:
+        """Cofactor-clear on device."""
+        return self._scale_bits(self._static_bits(self.params.cofactor), P)
+
     def is_zero(self, P):
         F = self.F
         return F.is_zero(P.X) & F.is_equal(P.Y, P.Z)

@@ -333,6 +333,69 @@ class WeierstrassOps:
             return self.proj_zeros(B)
         return R
 
+    def proj_scale_dyn(self, k_limbs, P: ProjectivePoints) -> ProjectivePoints:
+        """k*P for a RUNTIME scalar (the reference's `scale`,
+        `curve-projective.ts:268`): masked double-and-add as ONE lax.scan
+        over the limb vector's bits, LSB-first, branch-free."""
+        import jax
+
+        from ..utils.vma import pvary_like, vma_of
+
+        n_k = k_limbs.shape[0]
+        w = 12
+        bits = n_k * w
+        idx = jnp.arange(bits, dtype=jnp.int32)
+        limb_ix = idx // w
+        bit_ix = idx % w
+
+        def body(carry, iw):
+            acc, Q = carry
+            li, bi = iw
+            bit = ((k_limbs[li] >> bi) & 1).astype(bool)
+            stepped = self.proj_add(acc, Q)
+            acc = select(bit, stepped, acc)
+            Q = self.proj_double(Q)
+            return (acc, Q), None
+
+        zero = self.proj_zeros(*P.X.shape[1:]) if P.X.ndim > 1 else self.proj_zeros(1)
+        init = pvary_like((zero, P), vma_of(*P, k_limbs))
+        (acc, _), _ = jax.lax.scan(body, init, (limb_ix, bit_ix))
+        return acc
+
+    def _scale_static_bits(self, k: int, P: ProjectivePoints) -> ProjectivePoints:
+        """k*P for a STATIC k via a scan over its baked bit array — O(1)
+        trace size (vs proj_scale_const's unrolled double-and-add), for
+        big constants like the subgroup order or cofactor."""
+        import jax
+        import numpy as np
+
+        from ..utils.vma import pvary_like, vma_of
+
+        bits = jnp.asarray(
+            np.array([(k >> i) & 1 for i in range(max(k.bit_length(), 1))],
+                     dtype=np.int32)
+        )
+
+        def body(carry, bit):
+            acc, Q = carry
+            stepped = self.proj_add(acc, Q)
+            acc = select(bit.astype(bool), stepped, acc)
+            Q = self.proj_double(Q)
+            return (acc, Q), None
+
+        zero = self.proj_zeros(*P.X.shape[1:])
+        init = pvary_like((zero, P), vma_of(*P))
+        (acc, _), _ = jax.lax.scan(body, init, bits)
+        return acc
+
+    def is_in_subgroup(self, P: ProjectivePoints):
+        """order * P == identity (`curve-projective.ts:286-320`), on device."""
+        return self.proj_is_zero(self._scale_static_bits(self.params.order, P))
+
+    def to_subgroup(self, P: ProjectivePoints) -> ProjectivePoints:
+        """Cofactor-clear (`curve-affine.ts:111-139` toSubgroupInPlace)."""
+        return self._scale_static_bits(self.params.cofactor, P)
+
     def proj_eq(self, P, Q):
         """Equality across representatives (cross-multiplied)."""
         F = self.F

@@ -373,6 +373,33 @@ class MontgomeryFp:
         acc, _ = jax.lax.scan(body, acc0, jnp.asarray(digits[1:]))
         return acc
 
+    def exp_dyn(self, x, e):
+        """x^e for a RUNTIME exponent (the reference's `exp`,
+        `src/wasm/exp.ts`, takes a runtime exponent too; `exp_const` above
+        only covers static ones). e: (n_e, *batch) canonical limb vector.
+        Masked square-and-multiply, MSB-first, ONE lax.scan over all
+        n_e*w exponent bits (fixed trip count, branch-free)."""
+        n_e = e.shape[0]
+        w = self.w
+        bits = n_e * w
+        one = self.ones_mont(*x.shape[1:])
+
+        # bit i (MSB-first): limb (bits-1-i)//w, position (bits-1-i)%w
+        idx = jnp.arange(bits - 1, -1, -1, dtype=jnp.int32)
+        limb_ix = idx // w
+        bit_ix = idx % w
+
+        def body(acc, iw):
+            li, bi = iw
+            bit = (e[li] >> bi) & 1
+            acc = self.montsquare(acc)
+            stepped = self.montmul(acc, x)
+            acc = jnp.where(bit.astype(bool), stepped, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, pvary_like(one, vma_of(x, e)), (limb_ix, bit_ix))
+        return acc
+
     def inverse(self, x):
         """x^-1 in Montgomery form via Fermat (x^(p-2)); fully vectorized.
 

@@ -152,6 +152,82 @@ class GlvScalar(SimpleScalar):
         return L.unpack(arr, LimbScheme(self.w, self.n_half))
 
 
+class GlvScalarSpecial(SimpleScalar):
+    """GLV decomposition by Barrett DIVISION for lambda ~= sqrt(q) — the
+    reference's `glvSpecial` track (`src/wasm/glv.ts:248-411`), as batched
+    limb arithmetic:
+
+        s1 = floor(s / lambda)  (Barrett: (s * m) >> K, m = floor(2^K / l),
+                                 plus a <=2-step conditional correction —
+                                 `reduceByOne`, glv.ts:270)
+        s0 = s - s1 * lambda
+
+    so s = s0 + lambda * s1 exactly (both halves non-negative, s0 < lambda).
+    ``decompose_no_msb`` additionally forces s0 < 2^(b-1) by the conditional
+    flip s0 -> lambda - s0, s1 -> s1 + 1 with a sign flag — the NAF-friendly
+    form (`decomposeNoMsb`, glv.ts:369).
+
+    Applies when lambda^2 > q (e.g. BLS12-377/381, where lambda = z^2 - 1 ~
+    sqrt(q)); the production MSM uses the general lattice path
+    (`GlvScalar`), matching the reference's choice (`parallel.ts:54`)."""
+
+    def __init__(self, q: int, lambda_: int, w: int = 12):
+        super().__init__(q, w)
+        assert lambda_ * lambda_ > q, "glvSpecial needs lambda ~ sqrt(q)"
+        self.lambda_ = lambda_
+        self.half_bits = lambda_.bit_length()
+        self.n_half = -(-self.half_bits // w)
+        # Barrett constant: m = floor(2^K / lambda), K a limb multiple
+        # covering bits(q) + w so the quotient error is <= 2
+        self.K_limbs = -(-(q.bit_length() + w) // w)
+        K = self.K_limbs * w
+        m = (1 << K) // lambda_
+        n_m = max(-(-m.bit_length() // w), 1)
+        self.m = np.array(LimbScheme(w, n_m).to_limbs(m), dtype=np.int32)
+        self.l_limbs = np.array(
+            LimbScheme(w, self.n_half).to_limbs(lambda_), dtype=np.int32
+        )
+
+    def decompose(self, s):
+        """s: (n, B) canonical limbs in [0, q). Returns (u0, u1) with
+        s == u0 + lambda * u1, u0 < lambda, both canonical (n_half, B)."""
+        w = self.w
+        B = s.shape[1:]
+        m = jnp.asarray(self.m)[(...,) + (None,) * len(B)]
+        lam = jnp.asarray(self.l_limbs)[(...,) + (None,) * len(B)]
+        n_h = self.n_half
+
+        q1 = L.mul_shift_floor(s, m, w, self.K_limbs, n_h + 1)
+        # r = s - q1 * lambda (mod 2^(w*(n_h+1))) — fits: r in [0, ~3 lambda)
+        prod = L.mul_low(q1, lam, w, n_h + 1)
+        r = L.sub_mod_pow2(s, prod, w, n_h + 1)
+
+        one = jnp.zeros_like(q1).at[0].set(1)
+        for _ in range(2):  # quotient error <= 2: two correction rounds
+            d = L.sub_mod_pow2(r, lam, w, n_h + 1)
+            # r >= lambda  <=>  no borrow out of the top limb
+            top = d[n_h] >> (w - 1)  # sign bit of the two's-complement top
+            ge = (top & 1) == 0
+            r = jnp.where(ge, d, r)
+            q1 = jnp.where(ge, L.add_mod_pow2(q1, one, w, n_h + 1), q1)
+        return r[:n_h], q1[:n_h]
+
+    def decompose_no_msb(self, s):
+        """NAF-friendly variant: returns (sign0, u0, u1) with
+        s == (-1)^sign0 * u0 + lambda * u1 and u0 < 2^(half_bits - 1)."""
+        u0, u1 = self.decompose(s)
+        w = self.w
+        n_h = self.n_half
+        hb = self.half_bits - 1
+        lam = jnp.asarray(self.l_limbs)[(...,) + (None,) * (u0.ndim - 1)]
+        big = L.extract_bits(u0, hb, 1, w) != 0
+        flipped = L.sub_mod_pow2(lam, u0, w, n_h)
+        one = jnp.zeros_like(u1).at[0].set(1)
+        u0 = jnp.where(big, flipped, u0)
+        u1 = jnp.where(big, L.add_mod_pow2(u1, one, w, n_h), u1)
+        return big.astype(DTYPE), u0, u1
+
+
 def signed_digits(u, c: int, n_windows: int, w: int, scalar_sign=None):
     """Signed-digit windowing of canonical limb scalars u (n, B).
 

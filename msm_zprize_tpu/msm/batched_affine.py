@@ -14,6 +14,7 @@ ZPrize pipeline, SURVEY.md §3.2), TPU-native:
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -188,11 +189,19 @@ def accumulate_glv_projective(
     def pair_level1(a, b, sa, sb, va, vb):
         return tuple(W.aff_pair_add(a[0], a[1], sa, va, b[0], b[1], sb, vb))
 
+    # stream the window axis when the (M, K, L) slot buffers would blow
+    # HBM: chunk count sized so one chunk's slots stay under MSM_TPU_MAX_SLOTS
+    # lanes (~8M slots ~= 5 GB of gather+tree buffers on the native track)
+    B2 = mags.shape[-1]
+    M = max(2 * max(B2 // L, 1), 2)
+    max_slots = int(_os.environ.get("MSM_TPU_MAX_SLOTS", str(8 << 20)))
+    chunks = max(1, -(-(M * K * L) // max_slots))
+
     # per-window occupancy equalization is handled inside the engine
     # (data-derived spread factors; see accumulate_buckets_padded)
     sums = engine.accumulate_buckets_padded(
         (pts2.x, pts2.y), mags, signs, L, pair_add, prepare, zero_like,
-        pair_level1=pair_level1,
+        pair_level1=pair_level1, window_chunks=chunks,
     )
     empty = jnp.zeros((K, L), dtype=bool)  # Z=0 encodes emptiness
     return ProjectivePoints(*sums), empty

@@ -192,6 +192,7 @@ def accumulate_buckets_padded(
     prepare,
     zero_like,
     pair_level1=None,
+    window_chunks: int = 1,
 ):
     """Bucket accumulation via a PADDED (window, bucket, slot) layout.
 
@@ -247,143 +248,200 @@ def accumulate_buckets_padded(
     bit rides the sort payload (bit 30), so each round needs ONE index
     gather instead of separate position and sign gathers.
 
+    ``window_chunks`` streams the window axis in chunks via ONE lax.scan:
+    the (M, Kc, L) slot buffers (gather output + tree levels) are the
+    dominant live memory, so chunking divides peak HBM by ~chunks at no
+    extra arithmetic — this is what fits 2^20 on a 16 GB chip (the analog
+    of the reference's 4 GB discipline, `doc/zprize23.md:27`).
+
     Returns accumulator leaves (.., K, L); empty buckets hold the identity.
     """
     K, B = digits.shape
     assert B < (1 << 30), "sort payload packs position | sign << 30"
-    ids = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
-
-    max_id = jnp.max(jnp.where(ids == L, 0, ids), axis=1)  # (K,)
-    t = L // (max_id + 1)
-    for sh in (1, 2, 4, 8, 16):
-        t = t | (t >> sh)
-    S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (K, 1) pow2 in [1, L]
-    log2S = jax.lax.population_count(S - 1)  # (K, 1)
-
-    iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (K, B))
-    pos_bits = max((B - 1).bit_length(), 1)
-    id_bits = (L + 1).bit_length()  # ids range [0, L] inclusive (sentinel)
-    if id_bits + 1 + pos_bits <= 31:
-        # pack (id, sign, position) into ONE int32 key: a single-operand
-        # lax.sort is ~40% cheaper than key+payload, and the sign rides
-        # along for free. Feasible whenever c + log2(B) fits the budget
-        # (e.g. 2^16 points at c <= 13).
-        sign_shift = pos_bits
-        key = (ids << (pos_bits + 1)) | (signs.astype(jnp.int32) << pos_bits) | iota
-        key = jax.lax.sort(key, dimension=1, is_stable=False)
-        sorted_ids = key >> (pos_bits + 1)
-        order = key & ((1 << (pos_bits + 1)) - 1)  # sign@pos_bits | position
-    else:
-        sign_shift = 30
-        payload = iota | (signs.astype(jnp.int32) << 30)
-        order, sorted_ids = sort_by_bucket(ids, payload)
-    counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (K, L) per ORIGINAL id
-    offsets = jnp.cumsum(counts, axis=-1) - counts
-    # per-virtual-bucket occupancy bound: ceil(count/S) (deterministic)
-    max_occ = jnp.max((counts + S - 1) >> log2S)
+    ids_all = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
+    signs_all = signs.astype(jnp.int32)
 
     mean = max(B // L, 1)
     M = max(2 * mean, 2)  # power of two (B, L powers of two)
-
-    # virtual id v -> (id, r): id = v >> log2(S_k), r = v & (S_k - 1);
-    # its j-th point sits at sorted position offset[id] + r + S_k * j.
-    vid = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
-    v_id = jnp.right_shift(vid, log2S)  # (K, L)
-    v_r = vid & (S - 1)  # (K, L)
-    rowsL = jnp.arange(K, dtype=jnp.int32)[:, None] * L
-    v_off = jnp.take(offsets.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
-    v_cnt = jnp.take(counts.reshape(-1), (v_id + rowsL).reshape(-1)).reshape(K, L)
-
-    order_flat = order.reshape(-1)  # packed position | sign << 30
-    # slot layout (M, K, L): the slot axis is MAJOR so each tree level
-    # slices contiguous halves of the leading batch axis — the lane
-    # (minor) dimension stays K*L-wide at every level instead of
-    # shrinking 128 -> 1 through sublane/lane relayouts.
-    kbase = jnp.broadcast_to(
-        (jnp.arange(K, dtype=jnp.int32) * B)[None, :, None], (M, K, L)
-    ).reshape(-1)
-    j = jnp.arange(M, dtype=jnp.int32)[:, None, None]  # (M, 1, 1)
+    pos_bits = max((B - 1).bit_length(), 1)
+    id_bits = (L + 1).bit_length()  # ids range [0, L] inclusive (sentinel)
+    packed = id_bits + 1 + pos_bits <= 31
+    sign_shift = pos_bits if packed else 30
     POS_MASK = (1 << sign_shift) - 1
+    vma = vma_of(digits)
 
     stacked, splits, pt_type = _stack(tuple(point_leaves))
 
-    def tree_from(cur, m: int):
-        # cur: accumulator leaves (.., m, K*L); pairwise adds down to 1.
-        # Slot-half j pairs with j + m/2 (contiguous HALVES of the major
-        # slot axis). Any pairing is valid — the tree just sums all slots —
-        # and identity padding flows through the complete add.
-        while m > 1:
-            half = m // 2
-            cur = pair_add(
-                tuple(a[..., :half, :] for a in cur),
-                tuple(a[..., half:, :] for a in cur),
-            )
-            m = half
-        return tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in cur)
+    def window_block(ids, sgn):
+        """Full accumulation for a block of Kc windows -> (.., Kc, L)."""
+        Kc = ids.shape[0]
+        max_id = jnp.max(jnp.where(ids == L, 0, ids), axis=1)  # (Kc,)
+        t = L // (max_id + 1)
+        for sh in (1, 2, 4, 8, 16):
+            t = t | (t >> sh)
+        S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (Kc, 1) pow2 in [1, L]
+        log2S = jax.lax.population_count(S - 1)  # (Kc, 1)
 
-    def one_round(acc, p):
-        rank = v_r[None] + ((p + j) << log2S[None])  # (M, K, L)
-        valid = (rank < v_cnt[None]).reshape(-1)
-        pos = jnp.clip(v_off[None] + rank, 0, B - 1)
-        flat = pos.reshape(-1) + kbase
-        src2 = jnp.take(order_flat, flat)  # (M*K*L,) packed pos|sign
-        src = src2 & POS_MASK
-        sg = src2 >> sign_shift
-        g = jnp.take(stacked, src, axis=-1)
-        leaves = _unstack(g, splits, pt_type)
-        if pair_level1 is not None:
-            # fused sign+identity+first-level kernel: M -> M/2 slots
-            half = M // 2
-            hsz = half * K * L
-            a = tuple(x[..., :hsz] for x in leaves)
-            b = tuple(x[..., hsz:] for x in leaves)
-            P = pair_level1(a, b, sg[:hsz], sg[hsz:], valid[:hsz], valid[hsz:])
-            cur = tuple(x.reshape(x.shape[:-1] + (half, K * L)) for x in P)
-            sums = tree_from(cur, half)
+        iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (Kc, B))
+        if packed:
+            # pack (id, sign, position) into ONE int32 key: a single-operand
+            # lax.sort is cheaper than key+payload, and the sign rides
+            # along for free. Feasible whenever c + log2(B) fits the budget
+            # (e.g. 2^16 points at c <= 13).
+            key = (ids << (pos_bits + 1)) | (sgn << pos_bits) | iota
+            key = jax.lax.sort(key, dimension=1, is_stable=False)
+            sorted_ids = key >> (pos_bits + 1)
+            order = key & ((1 << (pos_bits + 1)) - 1)  # sign@pos_bits | pos
         else:
-            P = prepare(leaves, sg, valid)
-            cur = tuple(x.reshape(x.shape[:-1] + (M, K * L)) for x in P)
-            sums = tree_from(cur, M)
-        return pair_add(acc, sums)
+            payload = iota | (sgn << 30)
+            order, sorted_ids = sort_by_bucket(ids, payload)
+        counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (Kc, L)
+        offsets = jnp.cumsum(counts, axis=-1) - counts
+        # per-virtual-bucket occupancy bound: ceil(count/S) (deterministic)
+        max_occ = jnp.max((counts + S - 1) >> log2S)
 
-    vma = vma_of(digits)
-    acc0 = pvary_like(
-        tuple(a.reshape(a.shape[:-2] + (K * L,)) for a in zero_like(K, L)), vma
-    )
+        # virtual id v -> (id, r): id = v >> log2(S_k), r = v & (S_k - 1);
+        # its j-th point sits at sorted position offset[id] + r + S_k * j.
+        vid = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
+        v_id = jnp.right_shift(vid, log2S)  # (Kc, L)
+        v_r = vid & (S - 1)  # (Kc, L)
+        rowsL = jnp.arange(Kc, dtype=jnp.int32)[:, None] * L
+        v_off = jnp.take(
+            offsets.reshape(-1), (v_id + rowsL).reshape(-1)
+        ).reshape(Kc, L)
+        v_cnt = jnp.take(
+            counts.reshape(-1), (v_id + rowsL).reshape(-1)
+        ).reshape(Kc, L)
 
-    def cond(carry):
-        _, p = carry
-        return p < max_occ
+        order_flat = order.reshape(-1)  # packed position | sign
+        # slot layout (M, Kc, L): the slot axis is MAJOR so each tree level
+        # slices contiguous halves of the leading batch axis — the lane
+        # (minor) dimension stays Kc*L-wide at every level instead of
+        # shrinking 128 -> 1 through sublane/lane relayouts.
+        kbase = jnp.broadcast_to(
+            (jnp.arange(Kc, dtype=jnp.int32) * B)[None, :, None], (M, Kc, L)
+        ).reshape(-1)
+        j = jnp.arange(M, dtype=jnp.int32)[:, None, None]  # (M, 1, 1)
 
-    def body(carry):
-        acc, p = carry
-        return one_round(acc, p), p + M
+        def tree_from(cur, m: int):
+            # cur: accumulator leaves (.., m, Kc*L); pairwise adds down to
+            # 1. Slot-half j pairs with j + m/2 (contiguous HALVES of the
+            # major slot axis). Any pairing is valid — the tree just sums
+            # all slots — and identity padding flows through the complete
+            # add.
+            while m > 1:
+                half = m // 2
+                cur = pair_add(
+                    tuple(a[..., :half, :] for a in cur),
+                    tuple(a[..., half:, :] for a in cur),
+                )
+                m = half
+            return tuple(a.reshape(a.shape[:-2] + (Kc * L,)) for a in cur)
 
-    acc, _ = jax.lax.while_loop(
-        cond, body, (acc0, pvary_like(jnp.int32(0), vma))
-    )
-    acc = tuple(a.reshape(a.shape[:-1] + (K, L)) for a in acc)
+        def one_round(acc, p):
+            rank = v_r[None] + ((p + j) << log2S[None])  # (M, Kc, L)
+            valid = (rank < v_cnt[None]).reshape(-1)
+            pos = jnp.clip(v_off[None] + rank, 0, B - 1)
+            flat = pos.reshape(-1) + kbase
+            src2 = jnp.take(order_flat, flat)  # (M*Kc*L,) packed pos|sign
+            src = src2 & POS_MASK
+            sg = src2 >> sign_shift
+            g = jnp.take(stacked, src, axis=-1)
+            leaves = _unstack(g, splits, pt_type)
+            if pair_level1 is not None:
+                # fused sign+identity+first-level kernel: M -> M/2 slots
+                half = M // 2
+                hsz = half * Kc * L
+                a = tuple(x[..., :hsz] for x in leaves)
+                b = tuple(x[..., hsz:] for x in leaves)
+                P = pair_level1(
+                    a, b, sg[:hsz], sg[hsz:], valid[:hsz], valid[hsz:]
+                )
+                cur = tuple(
+                    x.reshape(x.shape[:-1] + (half, Kc * L)) for x in P
+                )
+                sums = tree_from(cur, half)
+            else:
+                P = prepare(leaves, sg, valid)
+                cur = tuple(x.reshape(x.shape[:-1] + (M, Kc * L)) for x in P)
+                sums = tree_from(cur, M)
+            return pair_add(acc, sums)
 
-    # fold virtual buckets back to logical ids: log2(L) static levels of
-    # adjacent-pair folding (virtual 2v and 2v+1 share a logical id while
-    # the remaining spread exceeds 1), each level applied only to windows
-    # whose traced S_k still exceeds the level's step — other rows pass
-    # through via the select. After its log2(S_k) levels a window's
-    # logical sum l sits at position l; higher positions hold the identity.
-    idpad = pvary_like(zero_like(K, L // 2), vma)
-    step = 1
-    while step < L:
-        active = S > step  # (K, 1), broadcasts over the bucket axis
-        pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in acc)
-        comb = pair_add(
-            tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+        acc0 = pvary_like(
+            tuple(
+                a.reshape(a.shape[:-2] + (Kc * L,)) for a in zero_like(Kc, L)
+            ),
+            vma,
         )
-        folded = tuple(
-            jnp.concatenate([cmb, z], axis=-1) for cmb, z in zip(comb, idpad)
+
+        def cond(carry):
+            _, p = carry
+            return p < max_occ
+
+        def body(carry):
+            acc, p = carry
+            return one_round(acc, p), p + M
+
+        acc, _ = jax.lax.while_loop(
+            cond, body, (acc0, pvary_like(jnp.int32(0), vma))
         )
-        acc = tuple(jnp.where(active, f, a) for f, a in zip(folded, acc))
-        step *= 2
-    return acc
+        acc = tuple(a.reshape(a.shape[:-1] + (Kc, L)) for a in acc)
+
+        # fold virtual buckets back to logical ids: log2(L) static levels
+        # of adjacent-pair folding (virtual 2v and 2v+1 share a logical id
+        # while the remaining spread exceeds 1), each level applied only to
+        # windows whose traced S_k still exceeds the level's step — other
+        # rows pass through via the select. After its log2(S_k) levels a
+        # window's logical sum l sits at position l; higher positions hold
+        # the identity.
+        idpad = pvary_like(zero_like(Kc, L // 2), vma)
+        step = 1
+        while step < L:
+            active = S > step  # (Kc, 1), broadcasts over the bucket axis
+            pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in acc)
+            comb = pair_add(
+                tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+            )
+            folded = tuple(
+                jnp.concatenate([cmb, z], axis=-1) for cmb, z in zip(comb, idpad)
+            )
+            acc = tuple(jnp.where(active, f, a) for f, a in zip(folded, acc))
+            step *= 2
+        return acc
+
+    chunks = max(1, min(window_chunks, K))
+    if chunks == 1:
+        return window_block(ids_all, signs_all)
+
+    Kc = -(-K // chunks)
+    pad_k = chunks * Kc - K
+    if pad_k:
+        # padding windows are all-sentinel: zero rounds, identity sums
+        ids_all = jnp.concatenate(
+            [ids_all, jnp.full((pad_k, B), L, dtype=jnp.int32)], axis=0
+        )
+        signs_all = jnp.concatenate(
+            [signs_all, jnp.zeros((pad_k, B), dtype=jnp.int32)], axis=0
+        )
+
+    def scan_body(_, xs):
+        i, s = xs
+        return None, window_block(i, s)
+
+    _, outs = jax.lax.scan(
+        scan_body,
+        None,
+        (
+            ids_all.reshape(chunks, Kc, B),
+            signs_all.reshape(chunks, Kc, B),
+        ),
+    )
+    res = []
+    for a in outs:  # (chunks, .., Kc, L)
+        a = jnp.moveaxis(a, 0, -3)  # (.., chunks, Kc, L)
+        a = a.reshape(a.shape[:-3] + (chunks * Kc, L))[..., :K, :]
+        res.append(a)
+    return tuple(res)
 
 
 def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):

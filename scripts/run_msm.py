@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--evaluate", action="store_true", help="always cross-check vs oracle")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print a per-phase timing + mul-count table "
+                         "(single-chip Weierstrass projective pipeline)")
     args = ap.parse_args()
 
     from msm_zprize_tpu.bigint.msm import msm as msm_oracle
@@ -65,21 +68,38 @@ def main():
     jax.block_until_ready(points)
     print(f"random points: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    from msm_zprize_tpu.utils.sync import sync
+
+    # device-resident fresh scalars per run; sync() readback (the axon
+    # tunnel returns from block_until_ready without waiting)
+    dev = jax.devices()[0]
+    scalar_sets = [
+        jax.device_put(curve.random_scalars(N, seed=run), dev)
+        for run in range(args.warmup + args.runs)
+    ]
+    sync([s[:1, :1] for s in scalar_sets])
+
     times = []
     result = None
     for run in range(args.warmup + args.runs):
-        scalars = curve.random_scalars(N, seed=run)
+        scalars = scalar_sets[run]
         t0 = time.time()
         result = curve.msm(scalars, points, **msm_kwargs)
-        jax.block_until_ready(result)
+        sync(result)
         dt = time.time() - t0
         if run >= args.warmup:
             times.append(dt)
-        print(f"  run {run}: {dt*1e3:.1f} ms", file=sys.stderr)
+        print(f"  run {run}: {dt*1e3:.1f} ms", file=sys.stderr, flush=True)
     med = statistics.median(times)
     std = statistics.pstdev(times)
     print(f"msm {args.curve} 2^{args.logN}: {med*1e3:.1f} +- {std*1e3:.1f} ms "
           f"({med/N*1e9:.0f} ns/point)")
+
+    if args.verbose and args.curve != "ed-on-bls12-377" and mesh is None:
+        from msm_zprize_tpu.utils.phases import print_phase_table, profile_msm
+
+        rows = profile_msm(curve, scalar_sets[0], points, c=args.c)
+        print_phase_table(rows, N)
 
     if args.evaluate or args.logN < 14:
         # bit-exact cross-check vs the bigint oracle on the last run's inputs

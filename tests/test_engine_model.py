@@ -13,7 +13,7 @@ import pytest
 import msm_zprize_tpu.msm.engine as E
 
 
-def _run_engine(digits, signs, point_vals, L, use_l1):
+def _run_engine(digits, signs, point_vals, L, use_l1, window_chunks=1):
     def pair_add(a, b):
         return tuple(x + y for x, y in zip(a, b))
 
@@ -39,6 +39,7 @@ def _run_engine(digits, signs, point_vals, L, use_l1):
         prepare,
         zero_like,
         pair_level1=pair_level1 if use_l1 else None,
+        window_chunks=window_chunks,
     )
     return np.asarray(out[0]).astype(np.int64)
 
@@ -85,6 +86,21 @@ def test_padded_engine_integer_model(K, B, L, dist, use_l1):
     got = _run_engine(digits, signs, point_vals, L, use_l1)
     want = _oracle(digits, signs, point_vals, L)
     assert np.array_equal(got, want), (got, want)
+
+
+@pytest.mark.parametrize("use_l1", [False, True])
+@pytest.mark.parametrize("chunks", [2, 3])
+def test_padded_engine_window_chunks(use_l1, chunks):
+    """Window-streamed accumulation (lax.scan over chunks, incl. a chunk
+    count that does not divide K) matches the one-shot path."""
+    K, B, L = 5, 64, 16
+    rng = np.random.default_rng(7)
+    digits = rng.integers(0, L + 1, (K, B)).astype(np.int32)
+    signs = rng.integers(0, 2, (K, B)).astype(np.int32)
+    point_vals = rng.integers(1, 1000, (B,)).astype(np.int32)
+    got = _run_engine(digits, signs, point_vals, L, use_l1, window_chunks=chunks)
+    want = _oracle(digits, signs, point_vals, L)
+    assert np.array_equal(got, want)
 
 
 @pytest.mark.parametrize("use_l1", [False, True])

@@ -74,3 +74,37 @@ def test_extract_bits(rng):
         got = L.extract_bits(arr, offset, count, 12).tolist()
         want = [(v >> offset) & ((1 << count) - 1) for v in vals]
         assert got == want, (offset, count)
+
+
+def test_glv_special_decompose(rng):
+    """glvSpecial track: Barrett-divide decomposition s = u0 + lambda*u1
+    (`src/wasm/glv.ts:248-411`) + the NAF-friendly no-MSB variant."""
+    import jax.numpy as jnp
+
+    from msm_zprize_tpu.curves.params import BLS12_377
+    from msm_zprize_tpu.fields.scalar import GlvScalarSpecial
+
+    q, lam = BLS12_377.order, BLS12_377.lambda_
+    S = GlvScalarSpecial(q, lam, 12)
+    scalars = [rng.randrange(q) for _ in range(32)]
+    scalars[:4] = [0, 1, lam - 1, q - 1]
+    s = jnp.asarray(S.pack(scalars))
+
+    u0, u1 = S.decompose(s)
+    h = __import__("msm_zprize_tpu.fields.limbs", fromlist=["unpack"])
+    from msm_zprize_tpu.fields.limbs import LimbScheme, unpack
+
+    sch = LimbScheme(12, S.n_half)
+    a0, a1 = unpack(u0, sch), unpack(u1, sch)
+    for sc, x0, x1 in zip(scalars, a0, a1):
+        assert x0 + lam * x1 == sc
+        assert x0 < lam
+
+    g, u0, u1 = S.decompose_no_msb(s)
+    a0, a1 = unpack(u0, sch), unpack(u1, sch)
+    import numpy as np
+
+    gs = np.asarray(g)
+    for sc, sg, x0, x1 in zip(scalars, gs, a0, a1):
+        assert (-x0 if sg else x0) + lam * x1 == sc
+        assert x0 < 1 << (S.half_bits - 1)

@@ -184,6 +184,12 @@ class CurveKernels(_KernelBase):
         self.ctx = FieldCtx(p, w, n)
         self.b3_mont = b3_mont
         self.b3_small = b3_small if (b3_small or 0) < _SMALL_3B_LIMIT else None
+        if self.b3_small is not None and not self._b3_small_safe():
+            # the limbwise small-mul inflates value bounds by 3b; for small
+            # R/p ratios (or larger 3b, e.g. the Pallas curve's 15) the
+            # interval arithmetic cannot prove the formulas stay inside the
+            # storage contract — fall back to the constant Montgomery mul
+            self.b3_small = None
         self.interpret = interpret
         self.codec = codec
         self._bodies = {
@@ -200,6 +206,31 @@ class CurveKernels(_KernelBase):
         if self.b3_small is not None:
             return pf.f_small(self.ctx, x, self.b3_small)
         return pf.mont_mul_const(self.ctx, x, self.b3_mont)
+
+    def _b3_small_safe(self) -> bool:
+        """Trace every Weierstrass formula with storage-contract dummy
+        inputs; the FV interval arithmetic's trace-time asserts ARE the
+        proof obligation, so an AssertionError here means the small-mul
+        bound chain overflows for this (p, 3b) and must not be used."""
+        ctx = self.ctx
+        arr = jnp.zeros((ctx.n, 1), jnp.int32)
+        x = pf.fv_stored(ctx, arr)
+        x2 = pf.fv_stored(ctx, arr, vmax=2 * ctx.p - 1)
+        s = jnp.zeros((1,), jnp.int32)
+        mul_b3 = lambda v: pf.f_small(ctx, v, self.b3_small)
+        try:
+            for out in (
+                rcb7(ctx, mul_b3, x, x, x, x, x, x),
+                rcb8(ctx, mul_b3, x, x, x, x2, x2),
+                rcb9(ctx, mul_b3, x, x, x),
+                rcb7_unitz(ctx, mul_b3, self.b3_mont,
+                           x2, x2, s, s, x2, x2, s, s),
+            ):
+                for o in out:
+                    assert pf.f_relax(ctx, o).vmax < pf.STORE_VMAX_P * ctx.p
+        except AssertionError:
+            return False
+        return True
 
     # ---- kernel bodies ----------------------------------------------------
 

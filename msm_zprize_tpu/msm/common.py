@@ -30,7 +30,14 @@ def window_size(curve_kind: str, log_n: int) -> int:
     sorted-array width L + 2N/2^m per halving step grows with L).
     """
     if curve_kind == "batched-affine":
-        table = {8: 6, 10: 8, 12: 10, 14: 11, 16: 12, 18: 13, 20: 14, 22: 16}
+        # measured on v5e (artifacts/sweep_2e16_r3.txt + run_2e18/2e20):
+        # 2^16: c=12 (130 ms) beats 11/13/14; 2^18: c=14 (492 ms) beats
+        # c=13 (678 ms); 2^20: c=14 (1886 ms) beats c=16 (1983 ms).
+        # Driving constraint: mean bucket occupancy B/2^(c-1) >= 64 keeps
+        # the M = 2*mean slot headroom at >= mean + 8 sigma, making the
+        # padded engine's residual second round vanishingly unlikely —
+        # c=13 at 2^16 (mean 32) pays a full extra round ~half the time.
+        table = {8: 6, 10: 8, 12: 10, 14: 11, 16: 12, 18: 14, 20: 14, 22: 16}
     else:
         table = {8: 6, 10: 7, 12: 9, 14: 10, 16: 11, 18: 12, 20: 13, 22: 14}
     if log_n <= 8:

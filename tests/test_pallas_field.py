@@ -146,7 +146,7 @@ def test_pallas_call_interpret_small_field(rng):
     p = EXAMPLE_FIELDS["goldilocks"]
     F, ctx = _ctx(p)
     b3 = 9
-    kern = pc.CurveKernels(p, F.w, F.n, 3 * F.R % p, b3, interpret=True)
+    kern = pc.CurveKernels(p, F.w, F.n, b3 * F.R % p, b3, interpret=True)
     vals = [[rng.randrange(p) for _ in range(B)] for _ in range(6)]
     arrs = [jnp.asarray(F.pack(v)) for v in vals]
     mask = jnp.asarray([1, 0] * (B // 2))
@@ -161,3 +161,110 @@ def test_pallas_call_interpret_small_field(rng):
         for i in range(B):
             expect = want[i] if int(mask[i]) else vals[k][i]
             assert got_vals[i] == expect % p
+
+
+def test_pallas_call_interpret_double_and_mixed(rng):
+    """Interpret-mode pallas_call coverage for proj_double and
+    proj_add_mixed (previously only proj_add ran as a real kernel in CI),
+    vs the bigint group law on the real Pallas curve."""
+    prm = PALLAS
+    p = prm.modulus
+    F, ctx = _ctx(p)
+    C = ProjectiveCurve(prm)
+    kern = pc.CurveKernels(
+        p, F.w, F.n, 3 * prm.b * F.R % p, 3 * prm.b, interpret=True
+    )
+    Ps = [C.random(rng) for _ in range(B)]
+    pk = lambda pts, i: jnp.asarray(F.pack([pt[i] for pt in pts]))
+    arrs = [pk(Ps, i) for i in range(3)]
+    un = lambda a: _from_fv(ctx, pf.fv_stored(ctx, a))
+
+    got = kern.proj_double(*arrs)
+    outs = [un(g) for g in got]
+    for i in range(B):
+        assert C.eq(tuple(o[i] for o in outs), C.double(Ps[i]))
+
+    Qa = [C.to_affine(C.random(rng)) for _ in range(B)]
+    inf = jnp.asarray([0, 1] * (B // 2))
+    ax = jnp.asarray(F.pack([0 if int(inf[i]) else Qa[i][0] for i in range(B)]))
+    ay = jnp.asarray(F.pack([1 if int(inf[i]) else Qa[i][1] for i in range(B)]))
+    got = kern.proj_add_mixed(*arrs, ax, ay, inf)
+    outs = [un(g) for g in got]
+    for i in range(B):
+        want = Ps[i] if int(inf[i]) else C.add(Ps[i], C.from_affine(Qa[i]))
+        assert C.eq(tuple(o[i] for o in outs), want)
+
+
+def test_pallas_call_interpret_aff_pair(rng):
+    """Interpret-mode coverage for the fused unit-Z level-1 kernel
+    (sign + identity-encoding + RCB7-unitz), vs eagerly-prepared rcb7."""
+    p = EXAMPLE_FIELDS["goldilocks"]
+    F, ctx = _ctx(p)
+    b3 = 9
+    kern = pc.CurveKernels(p, F.w, F.n, b3 * F.R % p, b3, interpret=True)
+    mul_b3 = lambda x: pf.f_small(ctx, x, b3)
+
+    xs = [[rng.randrange(p) for _ in range(B)] for _ in range(2)]
+    ys = [[rng.randrange(p) for _ in range(B)] for _ in range(2)]
+    sgn = [jnp.asarray([0, 1, 0, 1]), jnp.asarray([1, 1, 0, 0])]
+    val = [jnp.asarray([1, 1, 1, 0]), jnp.asarray([1, 0, 1, 1])]
+    got = kern.aff_pair_add(
+        jnp.asarray(F.pack(xs[0])), jnp.asarray(F.pack(ys[0])), sgn[0], val[0],
+        jnp.asarray(F.pack(xs[1])), jnp.asarray(F.pack(ys[1])), sgn[1], val[1],
+    )
+
+    # eager reference: prepare (select identity / cneg) then full rcb7
+    def prep(x, y, s, v):
+        X, Y, Z = [], [], []
+        for i in range(B):
+            if int(v[i]):
+                yy = (p - y[i]) % p if int(s[i]) else y[i]
+                X.append(x[i]); Y.append(yy); Z.append(1)
+            else:
+                X.append(0); Y.append(1); Z.append(0)
+        return (_to_fv(ctx, F, X), _to_fv(ctx, F, Y), _to_fv(ctx, F, Z))
+
+    P1 = prep(xs[0], ys[0], sgn[0], val[0])
+    P2 = prep(xs[1], ys[1], sgn[1], val[1])
+    eager = pc.rcb7(ctx, mul_b3, *P1, *P2)
+    gx = [_from_fv(ctx, pf.fv_stored(ctx, g)) for g in got]
+    wz = [_from_fv(ctx, e) for e in eager]
+    # compare as projective points (same representative: both compute the
+    # identical algebraic function of identical inputs)
+    for k in range(3):
+        assert gx[k] == [v % p for v in wz[k]]
+
+
+def test_pallas_call_interpret_ed_add(rng):
+    """Interpret-mode coverage for the fused Edwards kernel vs eager hwcd3."""
+    prm = ED_ON_BLS12_377
+    p = prm.modulus
+    F, ctx = _ctx(p)
+    C = EdwardsCurve(prm)
+    k_mont = 2 * prm.d % p * F.R % p
+    kern = pc.EdwardsKernels(p, F.w, F.n, k_mont, interpret=True)
+    Ps = [C.random(rng) for _ in range(B)]
+    Qs = [C.random(rng) for _ in range(B)]
+    pk = lambda pts, i: jnp.asarray(F.pack([pt[i] for pt in pts]))
+    got = kern.ed_add(*[pk(Ps, i) for i in range(4)], *[pk(Qs, i) for i in range(4)])
+    un = lambda a: _from_fv(ctx, pf.fv_stored(ctx, a))
+    outs = [un(g) for g in got]
+    for i in range(B):
+        assert C.eq(tuple(o[i] for o in outs), C.add(Ps[i], Qs[i]))
+
+
+def test_montmul_pallas_interpret(rng):
+    """Interpret-mode coverage for the standalone montmul kernel
+    (fields/pallas_mul.py) on goldilocks."""
+    from msm_zprize_tpu.fields.pallas_mul import montmul_pallas
+
+    p = EXAMPLE_FIELDS["goldilocks"]
+    F = make_field(p)
+    n = 8
+    xs = [rng.randrange(p) for _ in range(n)]
+    ys = [rng.randrange(p) for _ in range(n)]
+    out = montmul_pallas(
+        F, jnp.asarray(F.pack(xs)), jnp.asarray(F.pack(ys)), interpret=True
+    )
+    got = F.unpack(out)
+    assert got == [x * y % p for x, y in zip(xs, ys)]

@@ -120,6 +120,79 @@ def main():
         assert C.eq(g, want), "proj_madd chain mismatch"
     print("[kbench] proj_madd correctness: OK")
 
+    if "--fma51" in sys.argv:
+        fma51_ab()
+
+
+def fma51_ab():
+    """A/B: Pallas-curve proj_add with NATIVE w=12 storage vs 51x5 pair
+    storage (codec decode/encode at the kernel boundary) — the committed
+    comparison BASELINE config #5 asks for. Same formula, same digit
+    engine; the delta is the 51x5 representation's codec cost."""
+    import random
+
+    from msm_zprize_tpu.curves.params import PALLAS
+    from msm_zprize_tpu.curves.weierstrass51 import Fma51WeierstrassOps
+    from msm_zprize_tpu.utils.sync import sync
+
+    Wn = WeierstrassOps(PALLAS)
+    W51 = Fma51WeierstrassOps(PALLAS)
+    C = ProjectiveCurve(PALLAS)
+    rng = random.Random(1)
+    n_seed = 8
+    pts = [C.random(rng) for _ in range(n_seed)]
+    qts = [C.random(rng) for _ in range(n_seed)]
+    reps = B // n_seed
+
+    def run(label, ops, pack):
+        P = ProjectivePoints(*(jnp.tile(a, (1, reps)) for a in pack(pts)))
+        Q = ProjectivePoints(*(jnp.tile(a, (1, reps)) for a in pack(qts)))
+
+        @jax.jit
+        def chain_fn(*a):
+            acc = ProjectivePoints(*a[:3])
+            q = ProjectivePoints(*a[3:])
+            for _ in range(CHAIN):
+                acc = ops.proj_add(acc, q)
+            return tuple(acc)
+
+        t0 = time.time()
+        out = chain_fn(*P, *Q)
+        sync(out[0][:1, :1])
+        t_compile = time.time() - t0
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            out = chain_fn(*P, *Q)
+            sync(out[0][:1, :1])
+            times.append(time.time() - t0)
+        times.sort()
+        per = times[2] / CHAIN / B * 1e9
+        print(f"[kbench] {label}: compile {t_compile:.1f}s, "
+              f"{per:.2f} ns/lane-op")
+        return out
+
+    def pack_native(ps):
+        return Wn.pack_projective(ps)
+
+    def pack51(ps):
+        cd = W51.codec
+        R = W51.R
+        p = W51.p
+        return ProjectivePoints(
+            *(jnp.asarray(cd.pack([pt[i] * R % p for pt in ps])) for i in range(3))
+        )
+
+    out_n = run("pallas-curve proj_add (native w=12)", Wn, pack_native)
+    out_5 = run("pallas-curve proj_add (51x5 pairs) ", W51, pack51)
+    got = W51.unpack_projective(ProjectivePoints(*(a[:, :8] for a in out_5)))
+    for g, p0, q in zip(got, pts, qts):
+        want = p0
+        for _ in range(CHAIN):
+            want = C.add(want, q)
+        assert C.eq(g, want), "51x5 chain mismatch"
+    print("[kbench] 51x5 correctness: OK")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,89 @@
+"""MSM size sweep + adversarial digit distributions vs the bigint oracle.
+
+Mirrors the reference's msm.test.ts sweep (2^0..2^12 on all curves,
+`src/msm.test.ts:35-119`) within a CPU-host compile budget: shapes are
+chosen to SHARE compiles (same padded N and c across cases). The default
+run covers N in {16, 256} x all three Weierstrass modes + Edwards +
+adversarial distributions at N=256; set MSM_SLOW_TESTS=1 for the larger
+sizes (2^10, 2^12).
+"""
+
+import os
+import random
+
+import pytest
+
+from msm_zprize_tpu.bigint.msm import msm as msm_oracle
+from msm_zprize_tpu.curves.params import BLS12_377, ED_ON_BLS12_377
+from msm_zprize_tpu.parallel.api import TwistedEdwards, Weierstrass
+
+SLOW = bool(os.environ.get("MSM_SLOW_TESTS"))
+SIZES = [16, 256] + ([1024, 4096] if SLOW else [])
+C_FOR = {16: 6, 256: 6, 1024: 8, 4096: 8}
+
+
+@pytest.fixture(scope="module")
+def bls():
+    return Weierstrass.create(BLS12_377)
+
+
+def _check_w(curve, scs, pts, mode, c):
+    C = curve.oracle_projective
+    got = curve.result_to_int(
+        curve.msm(
+            curve.scalars_from_ints(scs), curve.points_from_ints(pts), c=c, mode=mode
+        )
+    )
+    want = C.to_affine(
+        msm_oracle(C, scs, [C.from_affine(p) for p in pts], 253)
+    )
+    assert got == want, f"mode={mode} N={len(pts)}"
+
+
+@pytest.mark.parametrize("mode", ["affine", "projective", "halving"])
+@pytest.mark.parametrize("N", SIZES)
+def test_msm_sweep_weierstrass(bls, N, mode):
+    rng = random.Random(N * 7 + 1)
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    _check_w(bls, scs, pts, mode, C_FOR[N])
+
+
+@pytest.mark.parametrize("N", SIZES)
+def test_msm_sweep_edwards(N):
+    curve = TwistedEdwards.create(ED_ON_BLS12_377)
+    O = curve.oracle
+    rng = random.Random(N * 7 + 2)
+    pts = [O.random(rng) for _ in range(N)]
+    scs = [rng.randrange(ED_ON_BLS12_377.order) for _ in range(N)]
+    got = curve.msm_bigint(scs, [O.to_affine(p) for p in pts], c=C_FOR[N])
+    want = O.to_affine(msm_oracle(O, scs, pts, curve.scalar.bits))
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "dist", ["all_equal_scalars", "all_equal_points", "boundary_scalars"]
+)
+@pytest.mark.parametrize("mode", ["projective", "affine"])
+def test_msm_adversarial(bls, dist, mode):
+    """Adversarial digit distributions: every point in ONE bucket per window
+    (forces the padded engine's residual while_loop rounds and the halving
+    engine's worst-case depth), duplicate points (safe-mode edge lanes), and
+    boundary scalars (max signed-digit carry chains). Shapes shared with the
+    N=256 sweep cases."""
+    N = 256
+    q = BLS12_377.order
+    rng = random.Random(99)
+    if dist == "all_equal_scalars":
+        pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+        scs = [1234567] * N
+    elif dist == "all_equal_points":
+        if mode == "projective":
+            pytest.skip("duplicate points need safe mode only for affine")
+        P = bls.oracle_affine.random(rng)
+        pts = [P] * N
+        scs = [rng.randrange(q) for _ in range(N)]
+    else:
+        pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+        scs = [q - 1 - i for i in range(N)]
+    _check_w(bls, scs, pts, mode, C_FOR[N])

@@ -42,8 +42,10 @@ def main():
     dev = jax.devices()[0]
     curve = Weierstrass.create(BLS12_377)
 
+    from msm_zprize_tpu.utils.point_cache import cached_random_points
+
     t0 = time.time()
-    points = curve.random_points_fast(N, seed=1)
+    points = cached_random_points(curve, N, seed=1)
     jax.block_until_ready(points)
     sys.stderr.write(f"[bench] random points ({N}): {time.time() - t0:.1f}s\n")
 

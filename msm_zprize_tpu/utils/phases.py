@@ -91,9 +91,13 @@ def profile_msm(curve, scalars, points: AffinePoints, c: int | None = None,
         sums, _ = accumulate_glv_projective(W, S, s, AffinePoints(px, py, pinf), c)
         return finalize_projective_buckets(W, sums, c)
 
-    t_prep = _timed(p_prep, args, reps)
-    t_accum = _timed(p_accum, args, reps)
-    t_full = _timed(p_full, args, reps)
+    # bare dispatch+RPC roundtrip (the axon tunnel costs ~25 ms per
+    # dispatch); subtracted from the absolute prefix times so phase rows
+    # reflect device time — deltas are unaffected either way
+    rpc = _timed(lambda s, *a: s[:1, :1], args, reps)
+    t_prep = max(_timed(p_prep, args, reps) - rpc, 0.0)
+    t_accum = max(_timed(p_accum, args, reps) - rpc, t_prep)
+    t_full = max(_timed(p_full, args, reps) - rpc, t_accum)
 
     # ---- analytic Montgomery-mul counts (static shapes, 1st round) -------
     slots = M * K * L

@@ -34,7 +34,7 @@ def main():
     ap.add_argument("curve", choices=["bls12-377", "bls12-381", "pallas", "ed-on-bls12-377"])
     ap.add_argument("logN", type=int)
     ap.add_argument("--devices", type=int, default=1, help="mesh size (1 = single chip)")
-    ap.add_argument("--mode", choices=["affine", "projective"], default=None)
+    ap.add_argument("--mode", choices=["affine", "projective", "halving", "fma51"], default=None)
     ap.add_argument("--c", type=int, default=None, help="window size override")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=5)
@@ -63,8 +63,10 @@ def main():
         msm_kwargs = dict(c=args.c, mesh=mesh, mode=args.mode)
 
     print(f"[{args.curve}] N=2^{args.logN}, devices={args.devices}", file=sys.stderr)
+    from msm_zprize_tpu.utils.point_cache import cached_random_points
+
     t0 = time.time()
-    points = curve.random_points_fast(N, seed=1)
+    points = cached_random_points(curve, N, seed=1)
     jax.block_until_ready(points)
     print(f"random points: {time.time()-t0:.1f}s", file=sys.stderr)
 

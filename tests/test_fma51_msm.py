@@ -28,3 +28,32 @@ def test_fma51_msm_vs_oracle():
         msm_oracle(C, scs, [C.from_affine(q) for q in pts], 255)
     )
     assert got == want
+
+
+def test_fma51_msm_sharded():
+    """51x5-storage MSM over the 8-device mesh (BASELINE #5's sharded leg):
+    points in pair-row layout shard over the data axis; bucket partials ride
+    the same all_to_all redistribution as the native track."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh (CPU test host provides 8)")
+    from msm_zprize_tpu.parallel.mesh import make_mesh
+
+    curve = Weierstrass.create(PALLAS)
+    mesh = make_mesh()
+    rng = random.Random(12)
+    N = 16
+    pts = [curve.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(PALLAS.order) for _ in range(N)]
+    s = curve.scalars_from_ints(scs)
+    p = curve.points_from_ints(pts)
+    res = curve.msm(s, p, c=6, mesh=mesh, mode="fma51")
+    got = curve.result_to_int(res)
+    C = curve.oracle_projective
+    want = C.to_affine(
+        msm_oracle(C, scs, [C.from_affine(q) for q in pts], 255)
+    )
+    assert got == want

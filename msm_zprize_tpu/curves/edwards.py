@@ -129,6 +129,23 @@ class EdwardsOps:
             F.montmul(E, Fc), F.montmul(G, H), F.montmul(Fc, G), F.montmul(E, H)
         )
 
+    def ed_pair_add(self, x1, y1, s1, v1, x2, y2, s2, v2) -> ExtPoints:
+        """Fused MSM level-1 op: two SIGNED affine TE slots (Z=1; T
+        reconstituted) -> extended sum; invalid slots act as the identity.
+        Kernel on TPU (`pallas_curve.hwcd3_unitz`), jnp composition off it."""
+        if self._use_kernels():
+            return ExtPoints(*self.kernels.ed_pair_add(x1, y1, s1, v1, x2, y2, s2, v2))
+        F = self.F
+
+        def prep(x, y, s, v):
+            one = F.ones_mont(*x.shape[1:])
+            xs = jnp.where(v, F.cneg(x, s), jnp.zeros_like(x))
+            ys = jnp.where(v, y, one)
+            t = F.montmul(xs, ys)
+            return ExtPoints(xs, ys, jnp.broadcast_to(one, xs.shape), t)
+
+        return self.add(prep(x1, y1, s1, v1), prep(x2, y2, s2, v2))
+
     def sub(self, P, Q):
         return self.add(P, self.neg(Q))
 

@@ -351,7 +351,45 @@ class EdwardsKernels(_KernelBase):
         self._bodies = {
             "ed_add": self._ed_add_body(False),
             "ed_add_m": self._ed_add_body(True),
+            "ed_pair": self._ed_pair_add_body(),
         }
+
+    def _ed_pair_add_body(self):
+        """Fused MSM level-1 kernel for twisted Edwards: two SIGNED affine
+        slots (x, y; Z = 1, T = x*y computed in-kernel so the slot gather
+        moves 2 coords instead of 4) -> extended sum. Invalid slots become
+        the exact identity (0, 1, 1, 0); the digit sign negates x (and
+        thereby T). With Z1 = Z2 = 1 the hwcd-3 D-term degenerates to the
+        constant 2."""
+        ctx, kc = self.ctx, self.k_mont
+
+        def body(x1r, y1r, s1r, v1r, x2r, y2r, s2r, v2r, xo, yo, zo, to):
+            one = None
+
+            def prep(xr, yr, sr, vr):
+                x = self._rd(xr, vmax=2 * ctx.p - 1)
+                y = self._rd(yr, vmax=2 * ctx.p - 1)
+                o = pf.fv_const(ctx, ctx.one_mont, x)
+                z = pf.fv_zero(ctx, x)
+                xs = pf.f_select(vr[0], pf.f_cneg(ctx, x, sr[0]), z)
+                ys = pf.f_select(vr[0], y, o)
+                return xs, ys
+
+            X1, Y1 = prep(x1r, y1r, s1r, v1r)
+            X2, Y2 = prep(x2r, y2r, s2r, v2r)
+            out = hwcd3_unitz(ctx, kc, X1, Y1, X2, Y2)
+            for r, o in zip((xo, yo, zo, to), out):
+                self._wr(r, o)
+
+        return body
+
+    def ed_pair_add(self, x1, y1, s1, v1, x2, y2, s2, v2):
+        """(sign, valid)-encoded affine TE slots -> extended sum."""
+        ins = (
+            x1, y1, s1.astype(jnp.int32), v1.astype(jnp.int32),
+            x2, y2, s2.astype(jnp.int32), v2.astype(jnp.int32),
+        )
+        return self._call(self._bodies["ed_pair"], ins, 4, "ed_pair")
 
     def _ed_add_body(self, masked: bool):
         ctx, kc = self.ctx, self.k_mont
@@ -516,6 +554,32 @@ def rcb7_unitz(ctx, mul_b3, b3_mont, x1, y1, s1, v1, x2, y2, s2, v2):
     Y3 = A(M(t1, Z3), M(Y3, t0))
     Z3 = A(M(Z3, t4), M(t0, t3))
     return X3, Y3, Z3
+
+
+def hwcd3_unitz(ctx, k_mont, X1, Y1, X2, Y2):
+    """2008-hwcd-3 unified add specialized to unit-Z extended operands:
+    Zi = 1, Ti = Xi*Yi (affine TE points, incl. the identity (0, 1)).
+    D = 2*Z1*Z2 degenerates to the constant 2 (Montgomery form); T-coords
+    are reconstituted in-kernel (2 muls) so storage/gather carries only
+    (x, y) — 10 muls total vs 9 for the general form but 2 coords of HBM
+    traffic instead of 4 (cf. the reference's affine TE batch,
+    `curve-twisted-edwards.ts:314-339` batchNormalize'd points)."""
+    M, A, S = (
+        lambda a, b: pf.mont_mul(ctx, a, b),
+        lambda a, b: pf.f_add(ctx, a, b),
+        lambda a, b: pf.f_sub(ctx, a, b),
+    )
+    T1 = M(X1, Y1)
+    T2 = M(X2, Y2)
+    Am = M(S(Y1, X1), S(Y2, X2))
+    B = M(A(Y1, X1), A(Y2, X2))
+    C = pf.mont_mul_const(ctx, M(T1, T2), k_mont)
+    D = pf.fv_const(ctx, 2 * ctx.one_mont % ctx.p, X1)
+    E = S(B, Am)
+    F = S(D, C)
+    G = A(D, C)
+    H = A(B, Am)
+    return M(E, F), M(G, H), M(F, G), M(E, H)
 
 
 def hwcd3(ctx, k_mont, X1, Y1, Z1, T1, X2, Y2, Z2, T2):

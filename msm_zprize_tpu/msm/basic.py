@@ -116,13 +116,80 @@ def finalize_edwards(E: EdwardsOps, sums, empty, c: int) -> ExtPoints:
     return engine.horner(per_window, c, acc.add, acc.double, None)
 
 
+def accumulate_edwards_padded(
+    E: EdwardsOps, scalars, points: ExtPoints, scalar_bits: int, c: int
+):
+    """Padded-layout bucket accumulation for twisted Edwards (the TPU
+    default): normalize to affine (Z = 1, like the reference's
+    batchNormalize'd TE points), gather only (x, y) per slot, and fuse
+    sign/identity/T-reconstruction + the first tree level into the unit-Z
+    hwcd kernel. ONE data-dependent gather per round (cf. the halving
+    engine's ~2 per level)."""
+    import os as _os
+
+    K = default_windows(scalar_bits, c)
+    L = 1 << (c - 1)
+    mags, signs = signed_digits(scalars, c, K, 12)
+    F = E.F
+    pts = E.batch_normalize(points)  # Z == 1 everywhere (identity stays id)
+
+    def prepare(leaves, sg, valid):
+        x, y = leaves
+        one = F.ones_mont(*y.shape[1:])
+        xs = jnp.where(valid, F.cneg(x, sg), jnp.zeros_like(x))
+        ys = jnp.where(valid, y, one)
+        z = jnp.broadcast_to(one, xs.shape)
+        t = F.montmul(xs, ys)
+        return (xs, ys, z, t)
+
+    def pair_add(a, b):
+        return tuple(E.add(ExtPoints(*a), ExtPoints(*b)))
+
+    def pair_level1(a, b, sa, sb, va, vb):
+        return tuple(E.ed_pair_add(a[0], a[1], sa, va, b[0], b[1], sb, vb))
+
+    def zero_like(K_, L_):
+        return (
+            F.zeros(K_, L_), F.ones_mont(K_, L_),
+            F.ones_mont(K_, L_), F.zeros(K_, L_),
+        )
+
+    B2 = mags.shape[-1]
+    M = max(2 * max(B2 // L, 1), 2)
+    max_slots = int(_os.environ.get("MSM_TPU_MAX_SLOTS", str(8 << 20)))
+    chunks = max(1, -(-(M * K * L) // max_slots))
+
+    sums = engine.accumulate_buckets_padded(
+        (pts.X, pts.Y), mags, signs, L, pair_add, prepare, zero_like,
+        pair_level1=pair_level1, window_chunks=chunks,
+    )
+    empty = jnp.zeros((K, L), dtype=bool)  # identity encodes emptiness
+    return ExtPoints(*sums), empty
+
+
 def msm_basic_edwards(
-    E: EdwardsOps, scalars, points: ExtPoints, scalar_bits: int, c: int | None = None
+    E: EdwardsOps, scalars, points: ExtPoints, scalar_bits: int, c: int | None = None,
+    mode: str | None = None,
 ) -> ExtPoints:
     """MSM over twisted-Edwards extended points (the reference's production
-    path for ed-on-bls12-377, `src/parallel.ts:179-289` msm via msmBasic)."""
+    path for ed-on-bls12-377, `src/parallel.ts:179-289` msm via msmBasic).
+
+    mode: "padded" (ONE gather per round + fused unit-Z level-1 kernel; the
+    TPU default) or "basic" (halving engine; CPU default, worst-case O(log)
+    rounds)."""
+    import jax as _jax
+
     B = points.X.shape[-1]
     if c is None:
         c = window_size("edwards", max(B.bit_length() - 1, 1))
-    sums, empty = accumulate_edwards(E, scalars, points, scalar_bits, c)
+    if mode is None:
+        mode = (
+            "padded"
+            if _jax.default_backend() in ("tpu", "axon")
+            else "basic"
+        )
+    if mode == "padded":
+        sums, empty = accumulate_edwards_padded(E, scalars, points, scalar_bits, c)
+    else:
+        sums, empty = accumulate_edwards(E, scalars, points, scalar_bits, c)
     return finalize_edwards(E, sums, empty, c)

@@ -203,7 +203,9 @@ def msm_batched_affine_sharded(
 
 
 @lru_cache(maxsize=None)
-def _sharded_edwards_fns(E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int):
+def _sharded_edwards_fns(
+    E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int, mode: str
+):
     d = mesh.devices.size
     F = E.F
     acc_ops = _EdAcc(E)
@@ -213,7 +215,12 @@ def _sharded_edwards_fns(E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int):
 
     def local_pipeline(s, X, Y, Z, T):
         pts = ExtPoints(X, Y, Z, T)
-        sums, _empty = accumulate_edwards(E, s, pts, scalar_bits, c)
+        if mode == "padded":
+            from ..msm.basic import accumulate_edwards_padded
+
+            sums, _empty = accumulate_edwards_padded(E, s, pts, scalar_bits, c)
+        else:
+            sums, _empty = accumulate_edwards(E, s, pts, scalar_bits, c)
         leaves = tuple(sums)
         K, L = leaves[0].shape[-2], leaves[0].shape[-1]
         Kp = -(-K // d) * d
@@ -249,13 +256,16 @@ def msm_edwards_sharded(
     points: ExtPoints,
     scalar_bits: int,
     c: int | None = None,
+    mode: str | None = None,
 ) -> ExtPoints:
     N = points.X.shape[-1]
     n_dev = mesh.devices.size
     assert N % n_dev == 0
     if c is None:
         c = window_size("edwards", max(N.bit_length() - 1, 1))
-    acc, horner = _sharded_edwards_fns(E, mesh, scalar_bits, c)
+    if mode is None:
+        mode = "padded" if jax.default_backend() in ("tpu", "axon") else "basic"
+    acc, horner = _sharded_edwards_fns(E, mesh, scalar_bits, c, mode)
     per_window = acc(scalars, *points)
     dev0 = jax.sharding.SingleDeviceSharding(mesh.devices.flat[0])
     per_window = tuple(jax.device_put(a, dev0) for a in per_window)

@@ -87,3 +87,30 @@ def test_msm_adversarial(bls, dist, mode):
         pts = [bls.oracle_affine.random(rng) for _ in range(N)]
         scs = [q - 1 - i for i in range(N)]
     _check_w(bls, scs, pts, mode, C_FOR[N])
+
+
+def test_msm_edwards_padded_mode():
+    """Padded-engine Edwards accumulation (the TPU default; jnp fallback
+    path here) vs oracle, incl. the batch_normalize front-end."""
+    import jax
+
+    from msm_zprize_tpu.curves.edwards import ExtPoints
+    from msm_zprize_tpu.msm.basic import msm_basic_edwards
+
+    curve = TwistedEdwards.create(ED_ON_BLS12_377)
+    O = curve.oracle
+    rng = random.Random(31)
+    N = 16
+    pts = [O.random(rng) for _ in range(N)]
+    scs = [rng.randrange(ED_ON_BLS12_377.order) for _ in range(N)]
+    s = curve.scalars_from_ints(scs)
+    P = curve.points_from_ints([O.to_affine(p) for p in pts])
+    res = jax.jit(
+        lambda ss, X, Y, Z, T: msm_basic_edwards(
+            curve.ops, ss, ExtPoints(X, Y, Z, T), curve.scalar.bits, c=6,
+            mode="padded",
+        )
+    )(s, *P)
+    got = curve.result_to_int(res)
+    want = O.to_affine(msm_oracle(O, scs, pts, curve.scalar.bits))
+    assert got == want

@@ -314,14 +314,6 @@ def accumulate_buckets_padded(
         ).reshape(Kc, L)
 
         order_flat = order.reshape(-1)  # packed position | sign
-        # slot layout (M, Kc, L): the slot axis is MAJOR so each tree level
-        # slices contiguous halves of the leading batch axis — the lane
-        # (minor) dimension stays Kc*L-wide at every level instead of
-        # shrinking 128 -> 1 through sublane/lane relayouts.
-        kbase = jnp.broadcast_to(
-            (jnp.arange(Kc, dtype=jnp.int32) * B)[None, :, None], (M, Kc, L)
-        ).reshape(-1)
-        j = jnp.arange(M, dtype=jnp.int32)[:, None, None]  # (M, 1, 1)
 
         def tree_from(cur, m: int):
             # cur: accumulator leaves (.., m, Kc*L); pairwise adds down to
@@ -338,19 +330,28 @@ def accumulate_buckets_padded(
                 m = half
             return tuple(a.reshape(a.shape[:-2] + (Kc * L,)) for a in cur)
 
-        def one_round(acc, p):
-            rank = v_r[None] + ((p + j) << log2S[None])  # (M, Kc, L)
+        def one_round(acc, p, m: int):
+            # slot layout (m, Kc, L): the slot axis is MAJOR so each tree
+            # level slices contiguous halves of the leading batch axis —
+            # the lane (minor) dimension stays Kc*L-wide at every level
+            # instead of shrinking 128 -> 1 through sublane/lane relayouts.
+            kbase = jnp.broadcast_to(
+                (jnp.arange(Kc, dtype=jnp.int32) * B)[None, :, None],
+                (m, Kc, L),
+            ).reshape(-1)
+            j = jnp.arange(m, dtype=jnp.int32)[:, None, None]  # (m, 1, 1)
+            rank = v_r[None] + ((p + j) << log2S[None])  # (m, Kc, L)
             valid = (rank < v_cnt[None]).reshape(-1)
             pos = jnp.clip(v_off[None] + rank, 0, B - 1)
             flat = pos.reshape(-1) + kbase
-            src2 = jnp.take(order_flat, flat)  # (M*Kc*L,) packed pos|sign
+            src2 = jnp.take(order_flat, flat)  # (m*Kc*L,) packed pos|sign
             src = src2 & POS_MASK
             sg = src2 >> sign_shift
             g = jnp.take(stacked, src, axis=-1)
             leaves = _unstack(g, splits, pt_type)
             if pair_level1 is not None:
-                # fused sign+identity+first-level kernel: M -> M/2 slots
-                half = M // 2
+                # fused sign+identity+first-level kernel: m -> m/2 slots
+                half = m // 2
                 hsz = half * Kc * L
                 a = tuple(x[..., :hsz] for x in leaves)
                 b = tuple(x[..., hsz:] for x in leaves)
@@ -363,8 +364,8 @@ def accumulate_buckets_padded(
                 sums = tree_from(cur, half)
             else:
                 P = prepare(leaves, sg, valid)
-                cur = tuple(x.reshape(x.shape[:-1] + (M, Kc * L)) for x in P)
-                sums = tree_from(cur, M)
+                cur = tuple(x.reshape(x.shape[:-1] + (m, Kc * L)) for x in P)
+                sums = tree_from(cur, m)
             return pair_add(acc, sums)
 
         acc0 = pvary_like(
@@ -374,16 +375,25 @@ def accumulate_buckets_padded(
             vma,
         )
 
+        # round 1 always runs at the full M slots; the RESIDUAL tail (rare:
+        # order-dependent partial top windows whose digit range is not a
+        # power of two defeat the spread — e.g. Edwards' bits 242..253
+        # window — or adversarial duplicate-scalar inputs) re-rounds at
+        # M/4 slots, so a small overflow costs ~25% of a full round rather
+        # than 2x the whole accumulation.
+        acc = one_round(acc0, jnp.int32(0), M)
+        M2 = max(M // 4, 2)
+
         def cond(carry):
             _, p = carry
             return p < max_occ
 
         def body(carry):
-            acc, p = carry
-            return one_round(acc, p), p + M
+            a, p = carry
+            return one_round(a, p, M2), p + M2
 
         acc, _ = jax.lax.while_loop(
-            cond, body, (acc0, pvary_like(jnp.int32(0), vma))
+            cond, body, (acc, pvary_like(jnp.int32(M), vma))
         )
         acc = tuple(a.reshape(a.shape[:-1] + (Kc, L)) for a in acc)
 

@@ -22,6 +22,19 @@ SIZES = [16, 256] + ([1024, 4096] if SLOW else [])
 C_FOR = {16: 6, 256: 6, 1024: 8, 4096: 8}
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """XLA:CPU SIGSEGVs while SERIALIZING some executables for the
+    persistent cache (see conftest.no_compile_cache); the padded-engine
+    programs this module compiles hit that. Raise the write threshold so
+    nothing qualifies for the module's duration."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 @pytest.fixture(scope="module")
 def bls():
     return Weierstrass.create(BLS12_377)

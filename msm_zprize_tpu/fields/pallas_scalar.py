@@ -175,6 +175,80 @@ def _scalar_kernel(s_ref, mag_ref, sgn_ref, *, S, c, K):
     digits(a1, g1, K)
 
 
+def _simple_kernel(s_ref, mag_ref, sgn_ref, *, n, w, c, K):
+    """Signed-digit windowing only (no GLV): the twisted-Edwards scalar
+    prep (`scalar.py::signed_digits` as one fused pass)."""
+    xs = [s_ref[i] for i in range(n)]
+    zero = jnp.zeros_like(xs[0])
+    half, full = 1 << (c - 1), 1 << c
+    carry = zero
+    for k in range(K):
+        off = k * c
+        j, sh = off // w, off % w
+        val = zero
+        produced = 0
+        first = True
+        jj = j
+        while produced < c and jj < n:
+            piece = xs[jj]
+            if first:
+                piece = piece >> sh
+                got = w - sh
+                first = False
+            else:
+                got = w
+            val = val | (piece << produced)
+            produced += got
+            jj += 1
+        l = (val & (full - 1)) + carry
+        big = l > half
+        carry = jnp.where(big, 1, 0).astype(jnp.int32)
+        mag = jnp.where(big, full - l, l)
+        sgn = jnp.where(big, 1, 0).astype(jnp.int32)
+        sgn = jnp.where(mag == 0, 0, sgn)
+        mag_ref[k] = mag
+        sgn_ref[k] = sgn
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w", "c", "K", "interpret"))
+def _simple_call(s, *, n, w, c, K, interpret):
+    nb = s.shape[1]
+    kernel = functools.partial(_simple_kernel, n=n, w=w, c=c, K=K)
+    grid = (nb // SUBLANES,)
+
+    def spec(k):
+        return pl.BlockSpec(
+            (k, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    vma = getattr(jax.typeof(s), "vma", frozenset())
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((K, nb, LANES), jnp.int32, vma=vma)
+            for _ in range(2)
+        ),
+        grid=grid,
+        in_specs=[spec(s.shape[0])],
+        out_specs=tuple(spec(K) for _ in range(2)),
+        interpret=interpret,
+        name="simple_digits",
+    )(s)
+
+
+def simple_digits_pallas(scalars, c: int, K: int, w: int = 12,
+                         interpret: bool = False):
+    """scalars: (n, N) canonical limbs. Returns (mags, signs) (K, N) —
+    bit-identical to `scalar.py::signed_digits` (cross-checked in tests)."""
+    n, N = scalars.shape
+    pad = (-N) % BLOCK
+    sf = jnp.pad(scalars, ((0, 0), (0, pad))) if pad else scalars
+    total = N + pad
+    sf = sf.reshape(n, total // LANES, LANES)
+    mags, signs = _simple_call(sf, n=n, w=w, c=c, K=K, interpret=interpret)
+    return mags.reshape(K, total)[:, :N], signs.reshape(K, total)[:, :N]
+
+
 @functools.partial(jax.jit, static_argnames=("S", "c", "K", "interpret"))
 def _scalar_call(s, *, S, c, K, interpret):
     nb = s.shape[1]

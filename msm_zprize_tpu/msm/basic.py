@@ -129,7 +129,14 @@ def accumulate_edwards_padded(
 
     K = default_windows(scalar_bits, c)
     L = 1 << (c - 1)
-    mags, signs = signed_digits(scalars, c, K, 12)
+    from ..fields.fp import _montmul_impl
+
+    if _montmul_impl() == "pallas":
+        from ..fields.pallas_scalar import simple_digits_pallas
+
+        mags, signs = simple_digits_pallas(scalars, c, K)
+    else:
+        mags, signs = signed_digits(scalars, c, K, 12)
     F = E.F
     pts = E.batch_normalize(points)  # Z == 1 everywhere (identity stays id)
 

@@ -227,11 +227,13 @@ def accumulate_buckets_padded(
     ceil(count_id / S_k) (an earlier index-residue spread
     `id*S + (i & (S-1))` left binomial noise — measured max 158 vs the
     124 ideal at 2^16, tripping a ~150 ms residual round for ~1k points).
-    S_k is computed from the DATA: the largest power of two with
-    max_id_k * S_k + S_k - 1 < L. Shapes stay static — S is a traced
-    (K, 1) vector, the mapping is pure index arithmetic post-sort, and
-    the virtual sums are re-folded to logical ids by log2(L) masked
-    pair-fold levels after accumulation.
+    S_k is computed from the DATA: S_k = floor(L / (max_id_k + 1)) — an
+    ARBITRARY integer, not a power of two (a pow2 restriction wastes up
+    to half the virtual space for partial top windows whose digit range
+    is not a power of two). Shapes stay static — S is a traced (K, 1)
+    vector, the mapping is pure index arithmetic post-sort, and the
+    virtual run [l*S, (l+1)*S) is re-folded onto logical id l by log2(L)
+    strided masked-add levels plus one tiny gather after accumulation.
 
     Residual rounds: occupancies above M are handled by a lax.while_loop
     over further M-slot rounds — entered only for adversarial digit
@@ -276,11 +278,12 @@ def accumulate_buckets_padded(
         """Full accumulation for a block of Kc windows -> (.., Kc, L)."""
         Kc = ids.shape[0]
         max_id = jnp.max(jnp.where(ids == L, 0, ids), axis=1)  # (Kc,)
-        t = L // (max_id + 1)
-        for sh in (1, 2, 4, 8, 16):
-            t = t | (t >> sh)
-        S = (t - (t >> 1)).astype(jnp.int32)[:, None]  # (Kc, 1) pow2 in [1, L]
-        log2S = jax.lax.population_count(S - 1)  # (Kc, 1)
+        # spread factor: ARBITRARY integer S = floor(L / range) (a power-of-2
+        # restriction wastes up to half the virtual-bucket space for
+        # order-dependent partial top windows — e.g. ed-on-bls12-377's
+        # bits-242..253 window has range 299, where S=2 left occupancy 131
+        # vs M=128, tripping residual rounds; S=3 gives 73)
+        S = jnp.maximum(L // (max_id + 1), 1).astype(jnp.int32)[:, None]
 
         iota = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (Kc, B))
         if packed:
@@ -298,13 +301,13 @@ def accumulate_buckets_padded(
         counts = bucket_counts(sorted_ids, L + 1)[:, :L]  # (Kc, L)
         offsets = jnp.cumsum(counts, axis=-1) - counts
         # per-virtual-bucket occupancy bound: ceil(count/S) (deterministic)
-        max_occ = jnp.max((counts + S - 1) >> log2S)
+        max_occ = jnp.max((counts + S - 1) // S)
 
-        # virtual id v -> (id, r): id = v >> log2(S_k), r = v & (S_k - 1);
+        # virtual id v -> (id, r): id = v // S_k, r = v % S_k;
         # its j-th point sits at sorted position offset[id] + r + S_k * j.
         vid = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
-        v_id = jnp.right_shift(vid, log2S)  # (Kc, L)
-        v_r = vid & (S - 1)  # (Kc, L)
+        v_id = vid // S  # (Kc, L)
+        v_r = vid - v_id * S  # (Kc, L)
         rowsL = jnp.arange(Kc, dtype=jnp.int32)[:, None] * L
         v_off = jnp.take(
             offsets.reshape(-1), (v_id + rowsL).reshape(-1)
@@ -340,7 +343,7 @@ def accumulate_buckets_padded(
                 (m, Kc, L),
             ).reshape(-1)
             j = jnp.arange(m, dtype=jnp.int32)[:, None, None]  # (m, 1, 1)
-            rank = v_r[None] + ((p + j) << log2S[None])  # (m, Kc, L)
+            rank = v_r[None] + (p + j) * S[None]  # (m, Kc, L)
             valid = (rank < v_cnt[None]).reshape(-1)
             pos = jnp.clip(v_off[None] + rank, 0, B - 1)
             flat = pos.reshape(-1) + kbase
@@ -397,27 +400,45 @@ def accumulate_buckets_padded(
         )
         acc = tuple(a.reshape(a.shape[:-1] + (Kc, L)) for a in acc)
 
-        # fold virtual buckets back to logical ids: log2(L) static levels
-        # of adjacent-pair folding (virtual 2v and 2v+1 share a logical id
-        # while the remaining spread exceeds 1), each level applied only to
-        # windows whose traced S_k still exceeds the level's step — other
-        # rows pass through via the select. After its log2(S_k) levels a
-        # window's logical sum l sits at position l; higher positions hold
-        # the identity.
-        idpad = pvary_like(zero_like(Kc, L // 2), vma)
+        # fold virtual buckets back to logical ids. Logical id l owns the
+        # CONTIGUOUS virtual run [l*S, (l+1)*S); ceil(log2 L) levels of
+        # strided masked adds collapse each run onto its first position
+        # (v absorbs v+step iff both are in the same run — valid for
+        # ARBITRARY S, not just powers of two), then one tiny (Kc*L)
+        # gather moves position l*S to position l. Windows with S = 1
+        # pass through untouched (every mask is False).
+        vidx = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
+        in_run = vidx - (vidx // S) * S  # v % S, (Kc, L)
         step = 1
         while step < L:
-            active = S > step  # (Kc, 1), broadcasts over the bucket axis
-            pairs = tuple(a.reshape(a.shape[:-1] + (L // 2, 2)) for a in acc)
-            comb = pair_add(
-                tuple(a[..., 0] for a in pairs), tuple(a[..., 1] for a in pairs)
+            can = (in_run + step) < S  # absorb v+step into v
+            shifted = tuple(
+                jnp.concatenate(
+                    [a[..., step:], z[..., : step]], axis=-1
+                )
+                for a, z in zip(acc, pvary_like(zero_like(Kc, L), vma))
             )
-            folded = tuple(
-                jnp.concatenate([cmb, z], axis=-1) for cmb, z in zip(comb, idpad)
-            )
-            acc = tuple(jnp.where(active, f, a) for f, a in zip(folded, acc))
+            comb = pair_add(acc, shifted)
+            acc = tuple(jnp.where(can, cmb, a) for cmb, a in zip(comb, acc))
             step *= 2
-        return acc
+        # gather logical sums: l <- virtual position l*S (clipped positions
+        # for l >= ceil(L/S) hold garbage but correspond to ids the digits
+        # never produced — their bucket sums are only ever multiplied by
+        # weights of EMPTY buckets... they do receive weight in the
+        # reduction, so force them to the identity explicitly.
+        lidx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        src_pos = jnp.minimum(lidx * S, L - 1)  # (Kc, L)
+        n_logical = (max_id + 1)[:, None]  # ids ever produced are < this
+        rowsL2 = jnp.arange(Kc, dtype=jnp.int32)[:, None] * L
+        flat_pos = (src_pos + rowsL2).reshape(-1)
+        idz = pvary_like(zero_like(Kc, L), vma)
+        out = []
+        for a, z in zip(acc, idz):
+            g = jnp.take(
+                a.reshape(a.shape[:-2] + (Kc * L,)), flat_pos, axis=-1
+            ).reshape(a.shape[:-2] + (Kc, L))
+            out.append(jnp.where(lidx < n_logical, g, z))
+        return tuple(out)
 
     chunks = max(1, min(window_chunks, K))
     if chunks == 1:

@@ -18,7 +18,11 @@ from msm_zprize_tpu.curves.params import BLS12_377, ED_ON_BLS12_377
 from msm_zprize_tpu.parallel.api import TwistedEdwards, Weierstrass
 
 SLOW = bool(os.environ.get("MSM_SLOW_TESTS"))
-SIZES = [16, 256] + ([1024, 4096] if SLOW else [])
+# default: ONE shared shape (N=16, c=6) across all modes — each extra
+# (padded-N, c, mode) combination is a multi-minute XLA:CPU compile on the
+# 2-core test host; the larger sizes run under MSM_SLOW_TESTS=1
+SIZES = [16] + ([256, 1024, 4096] if SLOW else [])
+ADV_N = 256 if SLOW else 16
 C_FOR = {16: 6, 256: 6, 1024: 8, 4096: 8}
 
 
@@ -83,8 +87,8 @@ def test_msm_adversarial(bls, dist, mode):
     (forces the padded engine's residual while_loop rounds and the halving
     engine's worst-case depth), duplicate points (safe-mode edge lanes), and
     boundary scalars (max signed-digit carry chains). Shapes shared with the
-    N=256 sweep cases."""
-    N = 256
+    sweep cases."""
+    N = ADV_N
     q = BLS12_377.order
     rng = random.Random(99)
     if dist == "all_equal_scalars":

@@ -41,3 +41,21 @@ def test_glv_digits_pallas_bls377():
 
 def test_glv_digits_pallas_pallas_curve():
     _check(PALLAS, 6, 64, 2)
+
+
+def test_simple_digits_pallas():
+    """Non-GLV signed-digit kernel (Edwards scalar prep) vs the jnp path."""
+    from msm_zprize_tpu.curves.params import ED_ON_BLS12_377
+    from msm_zprize_tpu.fields.pallas_scalar import simple_digits_pallas
+    from msm_zprize_tpu.fields.scalar import SimpleScalar
+
+    S = SimpleScalar(ED_ON_BLS12_377.order, 12)
+    rng = random.Random(6)
+    scalars = [rng.randrange(S.q) for _ in range(64)]
+    scalars[:3] = [0, 1, S.q - 1]
+    s = jnp.asarray(S.pack(scalars))
+    c, K = 7, -(-(S.bits + 1) // 7)
+    want_m, want_s = signed_digits(s, c, K, S.w)
+    got_m, got_s = simple_digits_pallas(s, c, K, interpret=True)
+    assert np.array_equal(np.asarray(got_m), np.asarray(want_m))
+    assert np.array_equal(np.asarray(got_s), np.asarray(want_s))

@@ -7,9 +7,23 @@ the codec-parameterized fused kernels (interpret mode on the CPU host).
 
 import random
 
+import pytest
+
 from msm_zprize_tpu.bigint.msm import msm as msm_oracle
 from msm_zprize_tpu.curves.params import PALLAS
 from msm_zprize_tpu.parallel.api import Weierstrass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """XLA:CPU SIGSEGVs while SERIALIZING some executables for the
+    persistent cache (see conftest.no_compile_cache) — the interpret-mode
+    51x5 MSM programs trip it. Disable cache writes for this module."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def test_fma51_msm_vs_oracle():

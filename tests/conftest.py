@@ -85,6 +85,10 @@ def no_compile_cache():
     programs. `jax_enable_compilation_cache` cannot be toggled mid-session
     (is_cache_used is memoized), but the min-compile-time threshold is read
     dynamically at write time — raise it so nothing qualifies."""
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # restore the PREVIOUS value: a module-scope no-cache-writes fixture may
+    # be active around this one (resetting to 1.0 here re-enabled writes
+    # mid-module and resurfaced the serializer segfault)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)

@@ -14,6 +14,16 @@ from msm_zprize_tpu.curves.params import BLS12_377, ED_ON_BLS12_377, PALLAS
 from msm_zprize_tpu.parallel.api import TwistedEdwards, Weierstrass
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """XLA:CPU segfaults serializing some MSM executables for the
+    persistent cache (observed on the padded-engine programs; see
+    conftest.no_compile_cache) — disable cache WRITES for this module."""
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 @pytest.fixture(scope="module")
 def bls():
     return Weierstrass.create(BLS12_377)

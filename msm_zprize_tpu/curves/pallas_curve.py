@@ -93,6 +93,29 @@ def _unflatten(arrs, n_limbs, batch, size):
     return out
 
 
+class _ValRef:
+    """Minimal Ref shim for direct (non-pallas) kernel-body evaluation.
+
+    Used when an interpret-mode kernel runs inside shard_map with
+    check_vma=True: the HLO interpreter replays the kernel jaxpr through the
+    vma checker, which rejects the replicated scalar constants every kernel
+    bakes in. The kernel bodies are pure elementwise jnp (no program_id, no
+    scratch), so evaluating them directly on whole arrays is bit-identical
+    and lets normal tracing insert the pvary casts."""
+
+    def __init__(self, val):
+        self.val = val
+
+    def __getitem__(self, idx):
+        return self.val[idx]
+
+    def __setitem__(self, idx, v):
+        if idx is Ellipsis:
+            self.val = v
+        else:
+            self.val = self.val.at[idx].set(v)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("fn", "n_out", "n", "interpret", "name"),
@@ -114,6 +137,14 @@ def _curve_call(*arrs, fn, n_out, n, interpret, name):
     vma = frozenset().union(
         *(getattr(jax.typeof(a), "vma", frozenset()) for a in arrs)
     )
+
+    if interpret and vma:
+        refs = [_ValRef(a) for a in arrs]
+        outs = [
+            _ValRef(jnp.zeros((n, nb, LANES), jnp.int32)) for _ in range(n_out)
+        ]
+        fn(*refs, *outs)
+        return tuple(o.val for o in outs)
 
     return pl.pallas_call(
         fn,
@@ -142,7 +173,12 @@ class _KernelBase:
     def _rd(self, ref, vmax: int | None = None):
         """Read a stored field value from a kernel ref -> FV."""
         if self.codec is not None:
-            rows = [ref[i] for i in range(self.codec.rows)]
+            # ONE whole-block read, then static row indexing of the value:
+            # per-row ref[i] reads lower to dynamic_slice in interpret mode,
+            # which rejects mixed varying/unvarying operands under
+            # shard_map's check_vma
+            block = ref[...]
+            rows = [block[i] for i in range(self.codec.rows)]
             return self.codec.decode(
                 self.ctx, rows, 2 * self.ctx.p - 1 if vmax is None else vmax
             )
@@ -151,8 +187,7 @@ class _KernelBase:
     def _wr(self, ref, x):
         if self.codec is not None:
             rows = self.codec.encode(self.ctx, x)
-            for r in range(self.codec.rows):
-                ref[r] = rows[r]
+            ref[...] = jnp.stack(rows, axis=0)
             return
         _write(self.ctx, ref, x)
 

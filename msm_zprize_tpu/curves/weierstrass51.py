@@ -32,17 +32,21 @@ from ..fields.pallas_field import FieldCtx
 from .pallas_curve import CurveKernels
 from .weierstrass import AffinePoints, ProjectivePoints
 
-__all__ = ["Fma51WeierstrassOps"]
+__all__ = ["Fma51WeierstrassOps", "PackedWeierstrassOps"]
 
 
 class Fma51WeierstrassOps:
-    """Curve ops with 51x5 coordinate storage; kernel-only compute."""
+    """Curve ops with row-codec coordinate storage; kernel-only compute.
+
+    Default codec is the 51x5 pair layout (`Fma51Codec`); pass any row
+    codec — `PackedWeierstrassOps` below instantiates the dense 31-bit-row
+    variant that works for every field size."""
 
     def __init__(self, params: WeierstrassParams, w: int = 12,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, codec=None):
         p = params.modulus
         self.params = params
-        self.codec = Fma51Codec(p)
+        self.codec = Fma51Codec(p) if codec is None else codec
         mp = montgomery_params(p, w, 4)
         self.w, self.n = w, mp.n
         self.ctx = FieldCtx(p, w, mp.n)
@@ -95,8 +99,12 @@ class Fma51WeierstrassOps:
             out.append(t & self.ctx.mask)
             carry = t >> self.w
         neg = jnp.stack(out, axis=0)
-        negp = self.codec.from_digits(self.ctx, neg, 2 * self.p)
-        return jnp.where(flag, negp, y)
+        negp = self.codec.from_digits(self.ctx, neg, 2 * self.p - 1)
+        # y == 0 negates to itself (2p - 0 = 2p would be one past the
+        # [0, 2p) storage contract); unreachable for subgroup points but
+        # keeps the bound claim sound
+        is_zero = ~jnp.any(d != 0, axis=0)
+        return jnp.where(flag & ~is_zero, negp, y)
 
     # ---- native-layout interop ------------------------------------------
 
@@ -135,7 +143,8 @@ class Fma51WeierstrassOps:
 
         beta = jnp.asarray(self._beta_rows)
         bx = montmul51_pallas(
-            self.p, P.x, beta, interpret=self.kernels.interpret
+            self.p, P.x, beta, interpret=self.kernels.interpret,
+            codec=self.codec,
         )
         return AffinePoints(bx, P.y, P.inf)
 
@@ -160,3 +169,18 @@ class Fma51WeierstrassOps:
             return [v * r_inv % self.p for v in self.codec.unpack(a)]
 
         return list(zip(un(pts.X), un(pts.Y), un(pts.Z)))
+
+
+class PackedWeierstrassOps(Fma51WeierstrassOps):
+    """Curve ops over the dense 31-bit-row storage (`PackedCodec`): the
+    minimum-HBM-bandwidth format, valid for every field size (13 rows for
+    377-bit coordinates vs 32 native digit planes). Same fused kernels,
+    decode/encode at the kernel boundary."""
+
+    def __init__(self, params: WeierstrassParams, w: int = 12,
+                 interpret: bool | None = None):
+        from ..fields.fma51_pallas import PackedCodec
+
+        super().__init__(
+            params, w, interpret=interpret, codec=PackedCodec(params.modulus)
+        )

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_field as pf
 from .pallas_field import FV, FieldCtx
 
-__all__ = ["Fma51Codec", "montmul51_pallas"]
+__all__ = ["Fma51Codec", "PackedCodec", "montmul51_pallas"]
 
 W51 = 51
 N51 = 5
@@ -51,25 +51,12 @@ SUBLANES = 16
 BLOCK = SUBLANES * LANES
 
 
-@dataclass(frozen=True)
-class Fma51Codec:
-    """5 x 51-bit limbs as 10 int32 rows of (26, 25)-bit half pairs; the
-    top pair's hi row holds 26 bits (52-bit top limb, 256-bit capacity)."""
-
-    p: int
-
-    def __post_init__(self):
-        assert self.p < (1 << 255) - (1 << 206), "51x5 requires p < 2^255 - 2^206"
-
-    rows: int = 10
-
-    @cached_property
-    def widths(self) -> tuple:
-        w = []
-        for i in range(N51):
-            w.append(26)
-            w.append(25 if i < N51 - 1 else 26)
-        return tuple(w)
+class _RowCodecMethods:
+    """Shared machinery for "row codecs": a field value stored as `rows`
+    int32 planes, row r holding bits [offsets[r], offsets[r]+widths[r]) of
+    the value. Subclasses define `widths` (and thus the bit capacity);
+    decode/encode translate rows <-> the kernel's w-bit digit form with
+    static shifts/ors only."""
 
     @cached_property
     def offsets(self) -> tuple:
@@ -81,7 +68,7 @@ class Fma51Codec:
 
     @cached_property
     def capacity_bits(self) -> int:
-        return self.offsets[-1] + self.widths[-1]  # 256
+        return self.offsets[-1] + self.widths[-1]
 
     # ---- host-side pack/unpack -----------------------------------------
 
@@ -103,15 +90,6 @@ class Fma51Codec:
                 v |= int(a[r, j]) << off
             out.append(v)
         return out
-
-    def pack51(self, limbs51) -> list:
-        """5 x 51-bit int limb list -> 10 pair ints (for cross-checks vs
-        `fields/fma51.py` which speaks 51-bit limbs)."""
-        v = sum(int(l) << (W51 * i) for i, l in enumerate(limbs51))
-        return [
-            (v >> off) & ((1 << wd) - 1)
-            for off, wd in zip(self.offsets, self.widths)
-        ]
 
     # ---- in-kernel decode/encode ----------------------------------------
 
@@ -212,15 +190,73 @@ class Fma51Codec:
         return jnp.stack(rows, axis=0)
 
 
+@dataclass(frozen=True)
+class Fma51Codec(_RowCodecMethods):
+    """5 x 51-bit limbs as 10 int32 rows of (26, 25)-bit half pairs; the
+    top pair's hi row holds 26 bits (52-bit top limb, 256-bit capacity).
+    The reference's float-mantissa limb vectors (`src/51x5/common.ts`,
+    `field-base.ts`) as a DEVICE storage format."""
+
+    p: int
+
+    def __post_init__(self):
+        assert self.p < (1 << 255) - (1 << 206), "51x5 requires p < 2^255 - 2^206"
+
+    rows: int = 10
+
+    @cached_property
+    def widths(self) -> tuple:
+        w = []
+        for i in range(N51):
+            w.append(26)
+            w.append(25 if i < N51 - 1 else 26)
+        return tuple(w)
+
+    def pack51(self, limbs51) -> list:
+        """5 x 51-bit int limb list -> 10 pair ints (for cross-checks vs
+        `fields/fma51.py` which speaks 51-bit limbs)."""
+        v = sum(int(l) << (W51 * i) for i, l in enumerate(limbs51))
+        return [
+            (v >> off) & ((1 << wd) - 1)
+            for off, wd in zip(self.offsets, self.widths)
+        ]
+
+
+@dataclass(frozen=True)
+class PackedCodec(_RowCodecMethods):
+    """Dense 31-bit rows — the minimum-bandwidth storage format, valid for
+    ANY p (unlike the 51x5 layout's 255-bit ceiling). ceil((bits(p)+1)/31)
+    int32 rows hold a [0, 2p) value; a 377-bit field stores in 13 rows vs
+    32 native w=12 digit planes, so every gather/tree HBM transfer of the
+    MSM engine moves 2.5x less. Decode to digit form is <= 2 static
+    shift/or ops per digit (each w-bit digit spans at most two rows)."""
+
+    p: int
+    row_bits: int = 31
+
+    @cached_property
+    def widths(self) -> tuple:
+        need = self.p.bit_length() + 1  # [0, 2p) capacity
+        n_rows = -(-need // self.row_bits)
+        return (self.row_bits,) * n_rows
+
+    @cached_property
+    def rows(self) -> int:
+        return len(self.widths)
+
+
 def _montmul51_kernel(x_ref, y_ref, o_ref, *, codec, ctx):
-    xr = [x_ref[i] for i in range(codec.rows)]
-    yr = [y_ref[i] for i in range(codec.rows)]
+    # whole-block reads/writes (static row indexing of the VALUE): per-row
+    # ref[i] ops lower to dynamic_slice in interpret mode, which rejects
+    # mixed varying/unvarying operands under shard_map's check_vma
+    xb, yb = x_ref[...], y_ref[...]
+    xr = [xb[i] for i in range(codec.rows)]
+    yr = [yb[i] for i in range(codec.rows)]
     x = codec.decode(ctx, xr, 2 * ctx.p - 1)
     y = codec.decode(ctx, yr, 2 * ctx.p - 1)
     out = pf.mont_mul(ctx, x, y)
     rows = codec.encode(ctx, out)
-    for r in range(codec.rows):
-        o_ref[r] = rows[r]
+    o_ref[...] = jnp.stack(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("codec", "ctx", "interpret"))
@@ -231,9 +267,30 @@ def _montmul51_call(x, y, *, codec, ctx, interpret):
     spec = pl.BlockSpec(
         (codec.rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    # varying-mesh-axes of the output = union over inputs, so the kernel
+    # composes with shard_map's check_vma=True (cf. pallas_curve._curve_call);
+    # inputs below the union (e.g. a replicated beta against sharded coords)
+    # are pvary'd up so every kernel operand carries identical vma
+    from ..utils.vma import pvary_like
+
+    vma = frozenset().union(
+        *(getattr(jax.typeof(a), "vma", frozenset()) for a in (x, y))
+    )
+    x, y = pvary_like(x, vma), pvary_like(y, vma)
+
+    if interpret and vma:
+        # direct evaluation under shard_map's check_vma (see
+        # pallas_curve._ValRef for why the HLO interpreter can't)
+        from ..curves.pallas_curve import _ValRef
+
+        xr, yr = _ValRef(x), _ValRef(y)
+        o = _ValRef(jnp.zeros((codec.rows, nb, LANES), jnp.int32))
+        kernel(xr, yr, o)
+        return o.val
+
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((codec.rows, nb, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((codec.rows, nb, LANES), jnp.int32, vma=vma),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
@@ -242,15 +299,16 @@ def _montmul51_call(x, y, *, codec, ctx, interpret):
     )(x, y)
 
 
-def montmul51_pallas(p: int, x, y, interpret: bool = False):
-    """Montgomery product on (10, *batch) 51x5 pair-row arrays.
+def montmul51_pallas(p: int, x, y, interpret: bool = False, codec=None):
+    """Montgomery product on (rows, *batch) row-codec arrays (default the
+    10-row 51x5 pair layout; pass any row codec, e.g. PackedCodec).
 
     Montgomery radix R = 2^(n*w) of the digit engine (n = limb count at
     w = 12) — the VALUE semantics are x*y*R^-1 mod p with inputs/outputs
-    in [0, 2p), stored in the 51x5 pair layout."""
+    in [0, 2p), stored in the codec's row layout."""
     from ..bigint.field import montgomery_params
 
-    codec = Fma51Codec(p)
+    codec = Fma51Codec(p) if codec is None else codec
     mp = montgomery_params(p, 12, 4)
     ctx = FieldCtx(p, 12, mp.n)
     batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])

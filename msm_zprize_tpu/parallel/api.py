@@ -115,21 +115,35 @@ class Weierstrass:
             self._ops51 = Fma51WeierstrassOps(self.params)
         return self._ops51
 
+    @property
+    def ops_packed(self):
+        """Dense 31-bit-row storage curve ops (any field size): the MSM
+        engine's gather/tree transfers move ~2.5x less HBM than native
+        digit planes (mode="packed")."""
+        if getattr(self, "_ops_packed", None) is None:
+            from ..curves.weierstrass51 import PackedWeierstrassOps
+
+            self._ops_packed = PackedWeierstrassOps(self.params)
+        return self._ops_packed
+
+    def _codec_ops(self, mode: str):
+        return self.ops51 if mode == "fma51" else self.ops_packed
+
     def _jitted_msm(self, c: int | None, safe: bool, mode: str):
         key = ("msm", c, safe, mode)
         if key not in self._jit_cache:
-            if mode == "fma51":
-                W51 = self.ops51
+            if mode in ("fma51", "packed"):
+                Wc = self._codec_ops(mode)
 
                 def fn(s, px, py, pinf):
                     pts = AffinePoints(
-                        W51.from_native(px), W51.from_native(py), pinf
+                        Wc.from_native(px), Wc.from_native(py), pinf
                     )
                     res = msm_batched_affine(
-                        W51, self.scalar, s, pts, c, safe=safe, mode="projective"
+                        Wc, self.scalar, s, pts, c, safe=safe, mode="projective"
                     )
                     return ProjectivePoints(
-                        *(W51.to_native(a) for a in res)
+                        *(Wc.to_native(a) for a in res)
                     )
 
             else:
@@ -161,16 +175,16 @@ class Weierstrass:
         return fn(scalars, points.x, points.y, points.inf)
 
     def _mesh_msm(self, scalars, points, c, safe, mode, mesh):
-        if mode == "fma51":
-            W51 = self.ops51
-            pts51 = AffinePoints(
-                W51.from_native(points.x), W51.from_native(points.y), points.inf
+        if mode in ("fma51", "packed"):
+            Wc = self._codec_ops(mode)
+            ptsc = AffinePoints(
+                Wc.from_native(points.x), Wc.from_native(points.y), points.inf
             )
             res = mesh_mod.msm_batched_affine_sharded(
-                W51, self.scalar, mesh, scalars, pts51, c,
+                Wc, self.scalar, mesh, scalars, ptsc, c,
                 safe=safe, mode="projective",
             )
-            return ProjectivePoints(*(W51.to_native(a) for a in res))
+            return ProjectivePoints(*(Wc.to_native(a) for a in res))
         return mesh_mod.msm_batched_affine_sharded(
             self.ops, self.scalar, mesh, scalars, points, c, safe=safe, mode=mode
         )

@@ -34,7 +34,7 @@ def main():
     ap.add_argument("curve", choices=["bls12-377", "bls12-381", "pallas", "ed-on-bls12-377"])
     ap.add_argument("logN", type=int)
     ap.add_argument("--devices", type=int, default=1, help="mesh size (1 = single chip)")
-    ap.add_argument("--mode", choices=["affine", "projective", "halving", "fma51"], default=None)
+    ap.add_argument("--mode", choices=["affine", "projective", "halving", "fma51", "packed"], default=None)
     ap.add_argument("--c", type=int, default=None, help="window size override")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=5)

@@ -21,9 +21,10 @@ def _no_cache_writes():
     51x5 MSM programs trip it. Disable cache writes for this module."""
     import jax
 
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
 
 
 def test_fma51_msm_vs_oracle():

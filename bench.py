@@ -50,25 +50,34 @@ def main():
     sys.stderr.write(f"[bench] random points ({N}): {time.time() - t0:.1f}s\n")
 
     # Fresh scalars per run (reference methodology), device-RESIDENT before
-    # the timer starts. Each timed dispatch runs R_INNER MSMs over R_INNER
-    # DIFFERENT scalar sets via one lax.scan: the axon tunnel's RPC
-    # roundtrip (~25 ms, measured by a trivial scalar sync below) is paid
-    # once per dispatch and amortized 1/R_INNER into the reported number —
-    # a conservative upper bound on per-MSM device time (no subtraction).
+    # the timer starts. TWO measurements, both reported:
+    #   * single-dispatch LATENCY — one MSM per dispatch, wall-clock incl.
+    #     the axon tunnel's RPC roundtrip. The headline JSON metric.
+    #   * amortized THROUGHPUT — R_INNER MSMs over R_INNER different scalar
+    #     sets in ONE dispatch via lax.scan (sequential, no overlap),
+    #     divided by R_INNER; amortizes the per-dispatch roundtrip.
+    from msm_zprize_tpu.curves.weierstrass import AffinePoints
     from msm_zprize_tpu.msm.batched_affine import msm_batched_affine
 
     def stack_scalars(seed0):
         sets = [curve.random_scalars(N, seed=seed0 + i) for i in range(R_INNER)]
         return jax.device_put(jnp.stack(sets, axis=0), dev)
 
-    @jax.jit
-    def msm_many(scal_stack, px, py, pinf):
-        from msm_zprize_tpu.curves.weierstrass import AffinePoints
+    MODE = os.environ.get("BENCH_MODE", "projective")
 
+    def fn_one(s, px, py, pinf):
+        return tuple(
+            msm_batched_affine(
+                curve.ops, curve.scalar, s, AffinePoints(px, py, pinf),
+                None, safe=False, mode=MODE,
+            )
+        )
+
+    def fn_many(scal_stack, px, py, pinf):
         def body(_, s):
             res = msm_batched_affine(
                 curve.ops, curve.scalar, s, AffinePoints(px, py, pinf),
-                None, safe=False, mode="projective",
+                None, safe=False, mode=MODE,
             )
             return None, tuple(res)
 
@@ -78,34 +87,71 @@ def main():
     batches = [stack_scalars(100 * i) for i in range(WARMUP + RUNS + 1)]
     sync([b[:1, :1, :1] for b in batches])
 
-    # measure the bare RPC roundtrip for the log (not subtracted)
-    tiny = jax.jit(lambda a: a.sum())(batches[0][:1, :1, :1])
-    sync(tiny)
+    # trace/lower once per (shape, mode) EVER: jax.export artifacts on disk
+    # skip retracing in later processes (utils/aot_cache.py)
+    from msm_zprize_tpu.utils.aot_cache import exported_fn
+
+    t0 = time.time()
+    ex_args_one = (batches[0][0], points.x, points.y, points.inf)
+    ex_args_many = (batches[0], points.x, points.y, points.inf)
+    msm_one = exported_fn(
+        f"msm1_{curve.label}_{LOG_N}_{MODE}", fn_one, ex_args_one, verbose=True
+    )
+    msm_many = exported_fn(
+        f"msm{R_INNER}_{curve.label}_{LOG_N}_{MODE}", fn_many, ex_args_many,
+        verbose=True,
+    )
+    sys.stderr.write(f"[bench] program build (trace or AOT load): {time.time() - t0:.1f}s\n")
+
+    # bare dispatch+RPC roundtrip of a PRE-COMPILED trivial program (jit the
+    # function ONCE: re-jitting a fresh lambda per call measures retracing,
+    # ~350 ms, not the tunnel)
+    tiny = jax.jit(lambda a: a.sum())
+    sync(tiny(batches[0][:1, :1, :1]))
     rts = []
     for _ in range(5):
         t0 = time.time()
-        sync(jax.jit(lambda a: a.sum())(batches[0][:1, :1, :1]))
+        sync(tiny(batches[0][:1, :1, :1]))
         rts.append(time.time() - t0)
-    sys.stderr.write(f"[bench] RPC roundtrip: {sorted(rts)[2]*1e3:.1f} ms\n")
+    rpc_ms = sorted(rts)[2] * 1e3
+    sys.stderr.write(f"[bench] RPC roundtrip (pre-compiled dispatch): {rpc_ms:.1f} ms\n")
 
-    def run(batch):
+    def run_one(batch):
+        t0 = time.time()
+        outs = msm_one(batch[0], points.x, points.y, points.inf)
+        sync(tuple(a[:1, :1] for a in outs))
+        return time.time() - t0
+
+    def run_many(batch):
         t0 = time.time()
         outs = msm_many(batch, points.x, points.y, points.inf)
         sync(tuple(a[:, :1, :1] for a in outs))
-        return (time.time() - t0) / R_INNER, outs
+        return (time.time() - t0) / R_INNER
 
     t0 = time.time()
-    run(batches[0])  # compile
+    run_one(batches[0])
+    run_many(batches[0])  # compile
     sys.stderr.write(f"[bench] first run (compile): {time.time() - t0:.1f}s\n")
     for i in range(WARMUP):
-        run(batches[1 + i])
-    times = []
+        run_one(batches[1 + i])
+        run_many(batches[1 + i])
+    times, thrpt = [], []
     for i in range(RUNS):
-        dt, outs = run(batches[1 + WARMUP + i])
-        times.append(dt * 1e3)
+        dt1 = run_one(batches[1 + WARMUP + i])
+        dtm = run_many(batches[1 + WARMUP + i])
+        times.append(dt1 * 1e3)
+        thrpt.append(dtm * 1e3)
         sys.stderr.write(
-            f"[bench] run {i}: {dt * 1e3:.1f} ms/msm ({R_INNER} msms/dispatch)\n"
+            f"[bench] run {i}: {dt1 * 1e3:.1f} ms single-dispatch latency; "
+            f"{dtm * 1e3:.1f} ms/msm amortized ({R_INNER} msms/dispatch)\n"
         )
+    med_thr = statistics.median(thrpt)
+    sys.stderr.write(
+        f"[bench] amortized throughput: {med_thr:.1f} ms/msm "
+        f"(vs_baseline {BASELINE_MS / med_thr:.3f}); derived per-dispatch "
+        f"overhead {(statistics.median(times) - med_thr) * R_INNER / (R_INNER - 1):.1f} ms "
+        f"vs measured RPC {rpc_ms:.1f} ms\n"
+    )
 
     # correctness spot check at small N against the bigint oracle
     import random as _r

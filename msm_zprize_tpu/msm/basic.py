@@ -162,7 +162,7 @@ def accumulate_edwards_padded(
         )
 
     B2 = mags.shape[-1]
-    M = max(2 * max(B2 // L, 1), 2)
+    M = engine.slot_count(B2, L)
     max_slots = int(_os.environ.get("MSM_TPU_MAX_SLOTS", str(8 << 20)))
     chunks = max(1, -(-(M * K * L) // max_slots))
 

@@ -64,7 +64,10 @@ def glv_prep(W: WeierstrassOps, S: GlvScalar, scalars, points: AffinePoints, c: 
         jnp.concatenate([points.y, endo.y], axis=-1),
         jnp.concatenate([points.inf, endo.inf], axis=-1),
     )
-    if _montmul_impl() == "pallas":
+    if _montmul_impl() == "pallas" and isinstance(S, GlvScalar):
+        # the fused Pallas prep kernel implements the lattice (GlvScalar)
+        # algebra; other scalar modules (e.g. GlvScalarSpecialMsm) take the
+        # bit-identical jnp path
         from ..fields.pallas_scalar import glv_digits_pallas
 
         mags, signs = glv_digits_pallas(S, scalars, c, K)
@@ -193,7 +196,7 @@ def accumulate_glv_projective(
     # HBM: chunk count sized so one chunk's slots stay under MSM_TPU_MAX_SLOTS
     # lanes (~8M slots ~= 5 GB of gather+tree buffers on the native track)
     B2 = mags.shape[-1]
-    M = max(2 * max(B2 // L, 1), 2)
+    M = engine.slot_count(B2, L)
     max_slots = int(_os.environ.get("MSM_TPU_MAX_SLOTS", str(8 << 20)))
     chunks = max(1, -(-(M * K * L) // max_slots))
 

@@ -91,7 +91,7 @@ def bucket_counts(sorted_digits, n_buckets: int):
     ones = jnp.ones((K, B), dtype=jnp.int32)
     return one_hot_sum.at[
         jnp.arange(K)[:, None], sorted_digits
-    ].add(ones)
+    ].add(ones, indices_are_sorted=True)
 
 
 def _fill_runs(vals, starts, width: int, kind: str):

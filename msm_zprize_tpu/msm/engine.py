@@ -32,7 +32,32 @@ __all__ = [
     "reduce_buckets",
     "horner",
     "msm_pipeline",
+    "slot_count",
 ]
+
+
+def slot_count(B: int, L: int) -> int:
+    """Slots per bucket M for the padded engine.
+
+    The gather that fills the (M, K, L) slot layout is INDEX-count bound
+    (~12.5 ns/index on v5e regardless of row count, scripts/gather_bench4),
+    and the tree does M-1 adds per bucket — so M is the accumulation
+    phase's unit cost. Headroom must clear the MAXIMUM occupancy across
+    all K*L buckets, not the mean: for Poisson(mean) counts the max over
+    n buckets concentrates at mean + sigma*sqrt(2 ln n) (~4.5 sigma at
+    the 2^16 shape) — an M of 1.5x mean (~4 sigma) triggered the residual
+    M/4-slot round on essentially every run, erasing its own saving
+    (measured 128.6 vs 130.9 ms). mean + 4.8*sqrt(mean) clears the max
+    with margin at every MSM shape up to 2^22 while still ~20% below the
+    old 2x-mean schedule. Below mean 32 the relative spread is too wide;
+    keep 2x. M is kept a multiple of 4 so the residual round's M//4 stays
+    integral (the tree handles any even chain via the odd-slot fold)."""
+    import math
+
+    mean = max(B // L, 1)
+    if mean >= 32:
+        return (mean + math.ceil(4.8 * math.sqrt(mean)) + 3) & ~3
+    return max(2 * mean, 2)
 
 
 def _take_flat(pts, flat_idx):
@@ -263,8 +288,7 @@ def accumulate_buckets_padded(
     ids_all = jnp.where(digits == 0, L, digits - 1).astype(jnp.int32)
     signs_all = signs.astype(jnp.int32)
 
-    mean = max(B // L, 1)
-    M = max(2 * mean, 2)  # power of two (B, L powers of two)
+    M = slot_count(B, L)
     pos_bits = max((B - 1).bit_length(), 1)
     id_bits = (L + 1).bit_length()  # ids range [0, L] inclusive (sentinel)
     packed = id_bits + 1 + pos_bits <= 31
@@ -323,8 +347,20 @@ def accumulate_buckets_padded(
             # 1. Slot-half j pairs with j + m/2 (contiguous HALVES of the
             # major slot axis). Any pairing is valid — the tree just sums
             # all slots — and identity padding flows through the complete
-            # add.
+            # add. Odd m folds the last slot into the first (one extra
+            # Kc*L-lane add), so M need not be a power of two — the 1.5x-
+            # mean slot schedule produces chains like 96 -> ... -> 3.
             while m > 1:
+                if m % 2:
+                    first = pair_add(
+                        tuple(a[..., :1, :] for a in cur),
+                        tuple(a[..., m - 1 : m, :] for a in cur),
+                    )
+                    cur = tuple(
+                        jnp.concatenate([f, a[..., 1 : m - 1, :]], axis=-2)
+                        for f, a in zip(first, cur)
+                    )
+                    m -= 1
                 half = m // 2
                 cur = pair_add(
                     tuple(a[..., :half, :] for a in cur),

@@ -76,8 +76,7 @@ def profile_msm(curve, scalars, points: AffinePoints, c: int | None = None,
     K = default_windows(S.max_bits, c)
     L = 1 << (c - 1)
     B = 2 * N
-    mean = max(B // L, 1)
-    M = max(2 * mean, 2)
+    M = engine.slot_count(B, L)
 
     args = (scalars, points.x, points.y, points.inf)
 

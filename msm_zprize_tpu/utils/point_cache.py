@@ -33,22 +33,31 @@ def cached_random_points(curve, N: int, seed: int):
     pt_type = AffinePoints if hasattr(curve.ops, "affine_is_on_curve") else ExtPoints
 
     if os.path.exists(path):
+        # validation inside the same guard: a stale cache with an
+        # incompatible limb scheme/shape must fall through to regeneration,
+        # not crash. The on-curve spot check runs on the HOST via the bigint
+        # oracle — a device-side check compiles a whole kernel chain, which
+        # on this backend costs ~60 s and silently defeated the cache.
         try:
             data = np.load(path)
             leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(data.files))]
             pts = pt_type(*leaves)
-        except Exception:
-            pts = None
-        if pts is not None:
-            head = pt_type(*(a[..., :8] for a in pts))
-            ok = (
-                curve.ops.affine_is_on_curve(head)
-                if pt_type is AffinePoints
-                else curve.ops.is_on_curve(head)
-            )
-            if bool(jnp.all(ok)):
+            head = pt_type(*(np.asarray(a)[..., :8] for a in pts))
+            if pt_type is AffinePoints:
+                ok = all(
+                    p is None or curve.oracle_affine.is_on_curve(p)
+                    for p in curve.ops.unpack_affine(head)
+                )
+            else:
+                ok = all(
+                    curve.oracle.is_on_curve(p)
+                    for p in curve.ops.unpack(head)
+                )
+            if ok:
                 return pts
             # stale cache (e.g. limb scheme changed): fall through, refresh
+        except Exception:
+            pass
 
     import jax
 

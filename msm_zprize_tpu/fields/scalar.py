@@ -24,7 +24,7 @@ from ..bigint.glv import GlvParams, glv_params
 from . import limbs as L
 from .limbs import DTYPE, LimbScheme
 
-__all__ = ["GlvScalar", "SimpleScalar", "signed_digits", "make_glv_scalar"]
+__all__ = ["GlvScalar", "SimpleScalar", "GlvScalarSpecialMsm", "signed_digits", "make_glv_scalar"]
 
 
 class SimpleScalar:
@@ -173,9 +173,16 @@ class GlvScalarSpecial(SimpleScalar):
 
     def __init__(self, q: int, lambda_: int, w: int = 12):
         super().__init__(q, w)
-        assert lambda_ * lambda_ > q, "glvSpecial needs lambda ~ sqrt(q)"
+        # lambda ~ sqrt(q) within a couple of bits on either side (BLS12-381's
+        # lambda = z^2 - 1 sits just BELOW sqrt(q): s1 = s//lambda then needs
+        # bits(q) - bits(lambda) + 1 bits)
+        assert abs(2 * lambda_.bit_length() - q.bit_length()) <= 3, (
+            "glvSpecial needs lambda ~ sqrt(q)"
+        )
         self.lambda_ = lambda_
-        self.half_bits = lambda_.bit_length()
+        self.half_bits = max(
+            lambda_.bit_length(), q.bit_length() - lambda_.bit_length() + 1
+        )
         self.n_half = -(-self.half_bits // w)
         # Barrett constant: m = floor(2^K / lambda), K a limb multiple
         # covering bits(q) + w so the quotient error is <= 2
@@ -184,8 +191,11 @@ class GlvScalarSpecial(SimpleScalar):
         m = (1 << K) // lambda_
         n_m = max(-(-m.bit_length() // w), 1)
         self.m = np.array(LimbScheme(w, n_m).to_limbs(m), dtype=np.int32)
+        # n_half + 1 limbs: the correction loop subtracts lambda over the
+        # (n_half+1)-limb accumulator, and a short operand would be CLAMPED
+        # by jnp's out-of-bounds indexing (silently re-reading the top limb)
         self.l_limbs = np.array(
-            LimbScheme(w, self.n_half).to_limbs(lambda_), dtype=np.int32
+            LimbScheme(w, self.n_half + 1).to_limbs(lambda_), dtype=np.int32
         )
 
     def decompose(self, s):
@@ -226,6 +236,41 @@ class GlvScalarSpecial(SimpleScalar):
         u0 = jnp.where(big, flipped, u0)
         u1 = jnp.where(big, L.add_mod_pow2(u1, one, w, n_h), u1)
         return big.astype(DTYPE), u0, u1
+
+
+class GlvScalarSpecialMsm(SimpleScalar):
+    """MSM-pipeline adapter for the glvSpecial track: exposes the same
+    decompose surface as `GlvScalar` (two signed halves) over the Barrett-
+    division decomposition, so `msm_batched_affine` can run a lambda~sqrt(q)
+    curve end-to-end on the special path — the reference's `glvSpecial`
+    consumer role (`src/wasm/glv.ts:248-411`; decision point
+    `src/parallel.ts:54`). s = (-1)^g0 * u0 + lambda * u1 with
+    u0 < 2^(half_bits-1) (decomposeNoMsb's NAF-friendly form), u1 unsigned."""
+
+    def __init__(self, q: int, lambda_: int, w: int = 12):
+        super().__init__(q, w)
+        # normalize to the ~sqrt(q)-sized eigenvalue: curves may store the
+        # conjugate q - lambda_small (BLS12-377 does); dividing by the small
+        # one and flipping u1's sign gives s = u0 - lambda*u1 (mod q)
+        lam_eff = min(lambda_, q - lambda_)
+        self._neg1 = lam_eff != lambda_
+        self._sp = GlvScalarSpecial(q, lam_eff, w)
+        self.lambda_ = lambda_
+        self.max_bits = self._sp.half_bits
+        self.n_half = self._sp.n_half
+
+    def decompose(self, s):
+        g0, u0, u1 = self._sp.decompose_no_msb(s)
+        g1 = jnp.ones_like(g0) if self._neg1 else jnp.zeros_like(g0)
+        # zero halves keep sign 0 (signed_digits folds signs per digit; a
+        # negative zero is harmless but keep the convention deterministic)
+        return g0, u0, g1, u1
+
+    def pack_half(self, values) -> np.ndarray:
+        return L.pack(list(values), LimbScheme(self.w, self.n_half))
+
+    def unpack_half(self, arr) -> list[int]:
+        return L.unpack(arr, LimbScheme(self.w, self.n_half))
 
 
 def signed_digits(u, c: int, n_windows: int, w: int, scalar_sign=None):

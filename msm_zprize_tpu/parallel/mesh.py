@@ -47,9 +47,11 @@ from ..msm.batched_affine import (
 )
 from ..msm.common import window_size
 
-__all__ = ["make_mesh", "msm_batched_affine_sharded", "msm_edwards_sharded"]
+__all__ = ["make_mesh", "make_mesh2", "msm_batched_affine_sharded", "msm_edwards_sharded"]
 
 AXIS = "dp"
+AXIS_DCN = "dcn"
+AXIS_ICI = "ici"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -64,6 +66,29 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     )
 
 
+def make_mesh2(dcn: int, ici: int) -> Mesh:
+    """2-D (hosts x chips-per-host) mesh: the outer "dcn" axis maps to the
+    slow inter-host network, the inner "ici" axis to the chip interconnect.
+    The sharded MSM combines bucket partials hierarchically: full-volume
+    reduce-scatter over ICI within each host, then a 1/ici-volume exchange
+    over DCN across hosts (the tree the reference's flat worker pool cannot
+    express, SURVEY.md §5.8). jax.make_mesh orders devices so the inner
+    axis gets the physically-adjacent ones."""
+    devs = jax.devices()
+    assert dcn * ici <= len(devs), (dcn, ici, len(devs))
+    return jax.make_mesh(
+        (dcn, ici),
+        (AXIS_DCN, AXIS_ICI),
+        devices=devs[: dcn * ici],
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
+    )
+
+
+def _mesh_axes(mesh: Mesh) -> tuple:
+    """Mesh axis names ordered outer -> inner."""
+    return tuple(mesh.axis_names)
+
+
 def _pad_windows(leaves, Kp: int, identity_like):
     """Pad the window axis (axis -2 of (.., K, L) leaves) to Kp with
     identity points. identity_like(k, L) -> identity leaves (.., k, L)."""
@@ -76,17 +101,38 @@ def _pad_windows(leaves, Kp: int, identity_like):
     )
 
 
-def _redistribute_windows(leaves, d: int):
+def _redistribute_windows(leaves, d: int, axis: str = AXIS):
     """all_to_all bucket partials over the window axis: (.., Kp, L) per chip
     -> (.., Kp/d, d, L) where the new axis indexes SOURCE chips' partials
-    for this chip's window slice."""
+    for this chip's window slice (within this chip's ``axis`` group)."""
     out = []
     for a in leaves:
-        r = jax.lax.all_to_all(a, AXIS, split_axis=a.ndim - 2,
+        r = jax.lax.all_to_all(a, axis, split_axis=a.ndim - 2,
                                concat_axis=a.ndim - 1, tiled=True)
         # received pieces are concatenated source-major on the bucket axis
         out.append(r.reshape(r.shape[:-1] + (d, r.shape[-1] // d)))
     return tuple(out)
+
+
+def _hierarchical_combine(leaves, mesh: Mesh, add_fn, pt_type, identity_like):
+    """Reduce-scatter bucket partials over the window axis, innermost mesh
+    axis first: full-volume exchange + log-tree over ICI within a host,
+    then the (1/ici)-volume exchange + tree over DCN across hosts. For a
+    1-D mesh this is the single-tier combine. Returns this chip's fully
+    combined (.., K_loc, L) slice."""
+    K, L = leaves[0].shape[-2], leaves[0].shape[-1]
+    sizes = [mesh.shape[ax] for ax in _mesh_axes(mesh)]
+    prod = 1
+    for s in sizes:
+        prod *= s
+    Kp = -(-K // prod) * prod
+    leaves = _pad_windows(leaves, Kp, identity_like)
+    for ax, d in reversed(list(zip(_mesh_axes(mesh), sizes))):
+        if d == 1:
+            continue
+        leaves = _redistribute_windows(leaves, d, ax)
+        leaves = tuple(_tree_add_sources(add_fn, pt_type, leaves))
+    return pt_type(*leaves)
 
 
 def _tree_add_sources(add_fn, pt_type, leaves):
@@ -116,7 +162,6 @@ def _tree_add_sources(add_fn, pt_type, leaves):
 def _sharded_affine_fns(
     W: WeierstrassOps, S: GlvScalar, mesh: Mesh, c: int, safe: bool, mode: str
 ):
-    d = mesh.devices.size
     acc_ops = _ProjAcc(W)
 
     def proj_identity(k, L):
@@ -142,13 +187,12 @@ def _sharded_affine_fns(
             z = jnp.where(is_id, zero, one)
             leaves = (x, y, z)
 
-        K, L = leaves[0].shape[-2], leaves[0].shape[-1]
-        Kp = -(-K // d) * d
-        leaves = _pad_windows(leaves, Kp, proj_identity)
-        # ICI: reduce-scatter the bucket space over the window axis
-        leaves = _redistribute_windows(leaves, d)
-        mine = _tree_add_sources(
-            lambda a, b: W.proj_add(a, b), ProjectivePoints, leaves
+        L = leaves[0].shape[-1]
+        # reduce-scatter the bucket space over the window axis — ICI tier
+        # within a host, then the 1/ici-volume DCN tier across hosts
+        mine = _hierarchical_combine(
+            leaves, mesh, lambda a, b: W.proj_add(a, b), ProjectivePoints,
+            proj_identity,
         )
         # weighted bucket reduction for THIS chip's window slice only
         c0 = max((c - 1) // 2, 1)
@@ -157,8 +201,14 @@ def _sharded_affine_fns(
         per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
         return tuple(per_window)  # leaves (n, K_loc)
 
-    specs_in = (P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS))
-    specs_out = tuple([P(None, AXIS)] * 3)  # per-window sums, window-sharded
+    axes = _mesh_axes(mesh)
+    specs_in = (P(None, axes), P(None, axes), P(None, axes), P(axes))
+    # the hierarchical combine splits the window axis innermost-axis FIRST,
+    # so the first-split (inner) axis is MAJOR in the final ownership order —
+    # the out spec must list axes inner-first or the reassembled window axis
+    # is permuted
+    axes_out = tuple(reversed(axes))
+    specs_out = tuple([P(None, axes_out)] * 3)  # per-window sums, window-sharded
     acc = jax.jit(
         jax.shard_map(
             local_pipeline, mesh=mesh, in_specs=specs_in, out_specs=specs_out
@@ -206,7 +256,6 @@ def msm_batched_affine_sharded(
 def _sharded_edwards_fns(
     E: EdwardsOps, mesh: Mesh, scalar_bits: int, c: int, mode: str
 ):
-    d = mesh.devices.size
     F = E.F
     acc_ops = _EdAcc(E)
 
@@ -222,19 +271,20 @@ def _sharded_edwards_fns(
         else:
             sums, _empty = accumulate_edwards(E, s, pts, scalar_bits, c)
         leaves = tuple(sums)
-        K, L = leaves[0].shape[-2], leaves[0].shape[-1]
-        Kp = -(-K // d) * d
-        leaves = _pad_windows(leaves, Kp, ed_identity)
-        leaves = _redistribute_windows(leaves, d)
-        mine = _tree_add_sources(lambda a, b: E.add(a, b), ExtPoints, leaves)
+        L = leaves[0].shape[-1]
+        mine = _hierarchical_combine(
+            leaves, mesh, lambda a, b: E.add(a, b), ExtPoints, ed_identity
+        )
         c0 = max((c - 1) // 2, 1)
         K_loc = mine.X.shape[-2]
         empty_loc = jnp.zeros((K_loc, L), dtype=bool)
         per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
         return tuple(per_window)
 
-    specs_in = tuple([P(None, AXIS)] * 5)
-    specs_out = tuple([P(None, AXIS)] * 4)
+    axes = _mesh_axes(mesh)
+    specs_in = tuple([P(None, axes)] * 5)
+    axes_out = tuple(reversed(axes))  # inner axis splits windows first (major)
+    specs_out = tuple([P(None, axes_out)] * 4)
     acc = jax.jit(
         jax.shard_map(
             local_pipeline, mesh=mesh, in_specs=specs_in, out_specs=specs_out

@@ -19,9 +19,10 @@ def _no_cache_writes():
     """XLA:CPU segfaults serializing some MSM executables for the
     persistent cache (observed on the padded-engine programs; see
     conftest.no_compile_cache) — disable cache WRITES for this module."""
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
 
 
 @pytest.fixture(scope="module")

@@ -34,9 +34,10 @@ def _no_cache_writes():
     nothing qualifies for the module's duration."""
     import jax
 
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
 
 
 @pytest.fixture(scope="module")
@@ -131,3 +132,108 @@ def test_msm_edwards_padded_mode():
     got = curve.result_to_int(res)
     want = O.to_affine(msm_oracle(O, scs, pts, curve.scalar.bits))
     assert got == want
+
+
+# ---- sharded paths past toy shapes (VERDICT r3 weak #5/#6) -----------------
+
+
+def _mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from msm_zprize_tpu.parallel.mesh import make_mesh
+
+    return make_mesh()
+
+
+@pytest.mark.skipif(not SLOW, reason="MSM_SLOW_TESTS=1 for large sharded sweeps")
+@pytest.mark.parametrize("N", [1024, 4096])
+def test_msm_sweep_sharded(bls, N):
+    """Sharded padded engine at realistic occupancy (c from C_FOR, so mean
+    bucket occupancy is > 1 and the spread/fold machinery does real work)."""
+    mesh = _mesh8()
+    rng = random.Random(N * 7 + 3)
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    C = bls.oracle_projective
+    got = bls.result_to_int(
+        bls.msm(
+            bls.scalars_from_ints(scs), bls.points_from_ints(pts),
+            c=C_FOR[N], mesh=mesh, mode="projective",
+        )
+    )
+    want = C.to_affine(msm_oracle(C, scs, [C.from_affine(p) for p in pts], 253))
+    assert got == want
+
+
+@pytest.mark.skipif(not SLOW, reason="MSM_SLOW_TESTS=1 for extra sharded compiles")
+@pytest.mark.parametrize("c", [22, 12])
+def test_msm_sharded_window_edges(bls, c):
+    """Window-count edge cases vs the 8-device mesh: c=22 gives K=6 < d
+    (every chip's window slice is padding-heavy) and c=12 gives K=11 with
+    K % d = 3 — both exercise mesh._pad_windows identity windows."""
+    mesh = _mesh8()
+    rng = random.Random(77 + c)
+    N = 16
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    C = bls.oracle_projective
+    got = bls.result_to_int(
+        bls.msm(
+            bls.scalars_from_ints(scs), bls.points_from_ints(pts),
+            c=c, mesh=mesh, mode="projective",
+        )
+    )
+    want = C.to_affine(msm_oracle(C, scs, [C.from_affine(p) for p in pts], 253))
+    assert got == want
+
+
+@pytest.mark.skipif(not SLOW, reason="MSM_SLOW_TESTS=1 for sharded adversarial runs")
+def test_msm_sharded_adversarial(bls):
+    """Duplicate scalars through the SHARDED padded engine: every point
+    lands in one bucket per window on every chip, forcing the residual
+    while_loop rounds inside shard_map."""
+    mesh = _mesh8()
+    rng = random.Random(55)
+    N = ADV_N
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [7654321] * N
+    C = bls.oracle_projective
+    got = bls.result_to_int(
+        bls.msm(
+            bls.scalars_from_ints(scs), bls.points_from_ints(pts),
+            c=C_FOR[N], mesh=mesh, mode="projective",
+        )
+    )
+    want = C.to_affine(msm_oracle(C, scs, [C.from_affine(p) for p in pts], 253))
+    assert got == want
+
+
+def test_padded_engine_hbm_budget_2e20():
+    """HBM audit (static): the padded engine's dominant live buffers at
+    2^20 x 8 devices must fit the per-chip budget. The slot gather output
+    plus the first tree level are the peak (engine.accumulate_buckets_padded
+    window-streams via MSM_TPU_MAX_SLOTS); audit the per-chunk bytes."""
+    from msm_zprize_tpu.msm import engine as eng
+    from msm_zprize_tpu.msm.common import default_windows, window_size
+
+    N = 1 << 20
+    d = 8
+    n_rows = 32  # native w=12 digit planes per coordinate
+    c = window_size("batched-affine", 20)
+    K = default_windows(129, c)
+    L = 1 << (c - 1)
+    B = 2 * (N // d)  # per-chip GLV-doubled batch
+    M = eng.slot_count(B, L)
+    max_slots = 8 << 20  # MSM_TPU_MAX_SLOTS default
+    chunks = max(1, -(-(M * K * L) // max_slots))
+    Kc = -(-K // chunks)
+    slot_lanes = M * Kc * L
+    # gather output (x, y + payload) and the level-1 output (3 proj coords
+    # at half the slots) both live simultaneously
+    gather_bytes = slot_lanes * (2 * n_rows + 1) * 4
+    tree_bytes = (slot_lanes // 2) * (3 * n_rows) * 4
+    total = gather_bytes + tree_bytes
+    budget = 12 << 30  # leave headroom of a 16 GB chip for points/sort
+    assert total < budget, (total, chunks, slot_lanes)

@@ -85,7 +85,7 @@ def msm_basic_projective(
         points, mags, signs, L, pair_add, prepare, zero_like
     )
     c0 = max((c - 1) // 2, 1)
-    per_window = engine.reduce_buckets(sums, empty, c0, acc)
+    per_window = engine.reduce_buckets_log(sums, c0, acc)
     return engine.horner(per_window, c, acc.add, acc.double, None)
 
 
@@ -110,9 +110,12 @@ def accumulate_edwards(
 
 
 def finalize_edwards(E: EdwardsOps, sums, empty, c: int) -> ExtPoints:
+    # bucket sums are accumulator-typed with identity at empty buckets
+    # (accumulate_buckets selects the identity; the padded engine encodes
+    # it) — the log-depth weighted reduction applies
     acc = _EdAcc(E)
     c0 = max((c - 1) // 2, 1)
-    per_window = engine.reduce_buckets(sums, empty, c0, acc)
+    per_window = engine.reduce_buckets_log(sums, c0, acc)
     return engine.horner(per_window, c, acc.add, acc.double, None)
 
 

@@ -248,9 +248,7 @@ def finalize_projective_buckets(W: WeierstrassOps, sums_proj, c: int) -> Project
     encoded as Z=0, so no separate empty mask is needed)."""
     acc = _ProjAcc(W)
     c0 = max((c - 1) // 2, 1)
-    K, L = sums_proj.X.shape[-2], sums_proj.X.shape[-1]
-    empty = jnp.zeros((K, L), dtype=bool)  # Z=0 handles emptiness
-    per_window = engine.reduce_buckets(sums_proj, empty, c0, acc)
+    per_window = engine.reduce_buckets_log(sums_proj, c0, acc)
     return engine.horner(per_window, c, acc.add, acc.double, None)
 
 

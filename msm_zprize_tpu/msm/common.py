@@ -30,14 +30,15 @@ def window_size(curve_kind: str, log_n: int) -> int:
     sorted-array width L + 2N/2^m per halving step grows with L).
     """
     if curve_kind == "batched-affine":
-        # measured on v5e (artifacts/sweep_2e16_r3.txt + run_2e18/2e20):
-        # 2^16: c=12 (130 ms) beats 11/13/14; 2^18: c=14 (492 ms) beats
-        # c=13 (678 ms); 2^20: c=14 (1886 ms) beats c=16 (1983 ms).
-        # Driving constraint: mean bucket occupancy B/2^(c-1) >= 64 keeps
-        # the M = 2*mean slot headroom at >= mean + 8 sigma, making the
-        # padded engine's residual second round vanishingly unlikely —
-        # c=13 at 2^16 (mean 32) pays a full extra round ~half the time.
-        table = {8: 6, 10: 8, 12: 10, 14: 11, 16: 12, 18: 14, 20: 14, 22: 16}
+        # measured on v5e. Round-4 engine (M = mean + 4.8*sqrt(mean) slots,
+        # compare-based counts): 2^16 c=12 at 107 ms; 2^18 c=13 (355.6 ms)
+        # beats c=14 (464.3) by 23% — smaller L more than pays for itself
+        # now that slot headroom scales with sqrt(mean) instead of mean
+        # (slot count ~ K*(mean+4.8*sqrt(mean))*L favors bigger mean).
+        # 2^20: c=13 (see artifacts/run_2e20_r4.txt) on the same argument.
+        # Earlier 2x-mean-era numbers (sweep_2e16_r3.txt) preferred c=14
+        # at 2^18/2^20; superseded.
+        table = {8: 6, 10: 8, 12: 10, 14: 11, 16: 12, 18: 13, 20: 13, 22: 14}
     else:
         table = {8: 6, 10: 7, 12: 9, 14: 10, 16: 11, 18: 12, 20: 13, 22: 14}
     if log_n <= 8:
@@ -80,18 +81,41 @@ def sort_by_bucket(digits, payload=None):
 
 
 def bucket_counts(sorted_digits, n_buckets: int):
-    """Per-bucket counts from sorted digit rows.
+    """Per-bucket counts from digit rows (sorted or not — a histogram).
 
     sorted_digits: (K, B) with values in [0, n_buckets]. Returns
     counts (K, n_buckets+1) — deterministic segment-sum replacement for the
     reference's Atomics.add counting (`msm-batched-affine.ts:194`).
+
+    Formulated as a broadcast-compare + reduction over B-chunks: XLA:TPU
+    fuses the (K, n_buckets, chunk) compare into the chunk reduction, and
+    the VPU eats it at ~2.2x the scatter-add's speed at MSM shapes
+    (scripts/counts_probe.py: 8.7 vs 19.5 ms at K=11, B=2^17, L=2^11 —
+    scatter pays ~9 ns per UPDATE, compare pays per-element-compare which
+    vectorizes). The scan keeps the compare tile in VMEM-sized pieces.
     """
     K, B = sorted_digits.shape
-    one_hot_sum = jnp.zeros((K, n_buckets + 1), dtype=jnp.int32)
-    ones = jnp.ones((K, B), dtype=jnp.int32)
-    return one_hot_sum.at[
-        jnp.arange(K)[:, None], sorted_digits
-    ].add(ones, indices_are_sorted=True)
+    n_out = n_buckets + 1
+    iota = jnp.arange(n_out, dtype=jnp.int32)
+    C = 8192
+    if B % C or B <= C:
+        return (
+            sorted_digits[:, None, :] == iota[None, :, None]
+        ).sum(axis=-1, dtype=jnp.int32)
+
+    chunks = jnp.moveaxis(sorted_digits.reshape(K, B // C, C), 1, 0)
+
+    def body(carry, chunk):
+        return (
+            carry
+            + (chunk[:, None, :] == iota[None, :, None]).sum(
+                axis=-1, dtype=jnp.int32
+            ),
+            None,
+        )
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((K, n_out), jnp.int32), chunks)
+    return counts
 
 
 def _fill_runs(vals, starts, width: int, kind: str):

@@ -196,9 +196,7 @@ def _sharded_affine_fns(
         )
         # weighted bucket reduction for THIS chip's window slice only
         c0 = max((c - 1) // 2, 1)
-        K_loc = mine.X.shape[-2]
-        empty_loc = jnp.zeros((K_loc, L), dtype=bool)  # Z=0 encodes emptiness
-        per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
+        per_window = engine.reduce_buckets_log(mine, c0, acc_ops)
         return tuple(per_window)  # leaves (n, K_loc)
 
     axes = _mesh_axes(mesh)
@@ -276,9 +274,7 @@ def _sharded_edwards_fns(
             leaves, mesh, lambda a, b: E.add(a, b), ExtPoints, ed_identity
         )
         c0 = max((c - 1) // 2, 1)
-        K_loc = mine.X.shape[-2]
-        empty_loc = jnp.zeros((K_loc, L), dtype=bool)
-        per_window = engine.reduce_buckets(mine, empty_loc, c0, acc_ops)
+        per_window = engine.reduce_buckets_log(mine, c0, acc_ops)
         return tuple(per_window)
 
     axes = _mesh_axes(mesh)

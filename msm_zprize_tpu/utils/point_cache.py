@@ -40,9 +40,10 @@ def cached_random_points(curve, N: int, seed: int):
         # on this backend costs ~60 s and silently defeated the cache.
         try:
             data = np.load(path)
-            leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(data.files))]
-            pts = pt_type(*leaves)
-            head = pt_type(*(np.asarray(a)[..., :8] for a in pts))
+            leaves_np = [data[f"arr_{i}"] for i in range(len(data.files))]
+            # validate BEFORE any device transfer (a device_get readback of
+            # the full arrays through the axon tunnel takes minutes)
+            head = pt_type(*(a[..., :8] for a in leaves_np))
             if pt_type is AffinePoints:
                 ok = all(
                     p is None or curve.oracle_affine.is_on_curve(p)
@@ -54,7 +55,7 @@ def cached_random_points(curve, N: int, seed: int):
                     for p in curve.ops.unpack(head)
                 )
             if ok:
-                return pts
+                return pt_type(*(jnp.asarray(a) for a in leaves_np))
             # stale cache (e.g. limb scheme changed): fall through, refresh
         except Exception:
             pass

@@ -60,14 +60,40 @@ def _cpu_fingerprint() -> str:
     return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_cache_msm_{_cpu_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("MSM_NO_COMPILE_CACHE"):
+    # diagnosis knob: run with the persistent compile cache fully off
+    # (slow cold, but removes cache load/store from the process entirely)
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_cache_msm_{_cpu_fingerprint()}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random
 
 import pytest
+
+# ---- XLA:CPU stale-unwind-frame workaround --------------------------------
+# Running many test modules in ONE process segfaults inside libgcc's
+# unwinder during a later compile (observed at tests/test_msm_sweep after
+# test_msm, with the persistent cache on OR off; kernel log: "segfault ...
+# in libgcc_s.so.1"). Mechanism: when a test's jitted function is garbage
+# collected, XLA:CPU frees its JIT'd executable; the next compilation that
+# unwinds the stack walks the freed code's stale EH frames. Workaround:
+# keep every jit wrapper (and thus its executables) alive for the process
+# lifetime — 128 GB of host RAM dwarfs the leaked executables.
+_jit_keepalive: list = []
+_orig_jit = jax.jit
+
+
+def _retaining_jit(*args, **kwargs):
+    f = _orig_jit(*args, **kwargs)
+    _jit_keepalive.append(f)
+    return f
+
+
+jax.jit = _retaining_jit
 
 
 @pytest.fixture

@@ -237,3 +237,33 @@ def test_padded_engine_hbm_budget_2e20():
     total = gather_bytes + tree_bytes
     budget = 12 << 30  # leave headroom of a 16 GB chip for points/sort
     assert total < budget, (total, chunks, slot_lanes)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["projective"]
+    + (["packed"] if SLOW else []),  # packed-codec interpret compiles are
+    # multi-ten-minute on the 2-core host; the codec itself is covered at
+    # CI speed by test_packed_codec.py + the fma51 MSM tests
+)
+def test_msm_bls12_381(mode):
+    """BLS12-381 end-to-end on the device path (VERDICT r3 #4): the 381-bit
+    base field (n=32 at w=12, the tightest carry headroom) through the
+    flagship padded engine, native and packed-row storage."""
+    from msm_zprize_tpu.curves.params import BLS12_381
+
+    curve = Weierstrass.create(BLS12_381)
+    rng = random.Random(381)
+    N = 16
+    pts = [curve.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_381.order) for _ in range(N)]
+    scs[:2] = [0, BLS12_381.order - 1]
+    C = curve.oracle_projective
+    got = curve.result_to_int(
+        curve.msm(
+            curve.scalars_from_ints(scs), curve.points_from_ints(pts),
+            c=6, mode=mode,
+        )
+    )
+    want = C.to_affine(msm_oracle(C, scs, [C.from_affine(p) for p in pts], 255))
+    assert got == want

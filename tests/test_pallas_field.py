@@ -19,7 +19,7 @@ from msm_zprize_tpu.bigint.edwards import EdwardsCurve
 from msm_zprize_tpu.bigint.weierstrass import ProjectiveCurve
 from msm_zprize_tpu.curves import pallas_curve as pc
 from msm_zprize_tpu.curves.example_fields import EXAMPLE_FIELDS
-from msm_zprize_tpu.curves.params import BLS12_377, ED_ON_BLS12_377, PALLAS
+from msm_zprize_tpu.curves.params import BLS12_377, BLS12_381, ED_ON_BLS12_377, PALLAS
 from msm_zprize_tpu.fields import pallas_field as pf
 from msm_zprize_tpu.fields.fp import make_field
 
@@ -76,7 +76,7 @@ def test_fv_field_ops(name, rng):
     assert _from_fv(ctx, can) == [(5 * x + y) % p for x, y in zip(xs, ys)]
 
 
-@pytest.mark.parametrize("prm", [BLS12_377, PALLAS], ids=lambda q: q.label)
+@pytest.mark.parametrize("prm", [BLS12_377, BLS12_381, PALLAS], ids=lambda q: q.label)
 def test_fv_weierstrass_formulas(prm, rng):
     p = prm.modulus
     F, ctx = _ctx(p)

@@ -33,6 +33,22 @@ def _sig(args) -> str:
     return h
 
 
+def _repo_rev() -> str:
+    """Short git revision — exports are keyed by CODE version too (the
+    serialized StableHLO bakes the traced program; a stale artifact would
+    silently pin the old algorithm)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "nogit"
+    except Exception:
+        return "nogit"
+
+
 def exported_fn(cache_key: str, fn, example_args, verbose: bool = False):
     """Return a callable equivalent to jax.jit(fn), backed by a disk-cached
     jax.export artifact for ``example_args``'s signature.
@@ -43,7 +59,7 @@ def exported_fn(cache_key: str, fn, example_args, verbose: bool = False):
     """
     import jax.export
 
-    key = f"{cache_key}_{_sig(example_args)}_{jax.__version__}"
+    key = f"{cache_key}_{_sig(example_args)}_{jax.__version__}_{_repo_rev()}"
     path = os.path.join(CACHE_DIR, key + ".jaxexport")
     backend = jax.default_backend()
 

@@ -74,26 +74,17 @@ import random
 
 import pytest
 
-# ---- XLA:CPU stale-unwind-frame workaround --------------------------------
-# Running many test modules in ONE process segfaults inside libgcc's
-# unwinder during a later compile (observed at tests/test_msm_sweep after
-# test_msm, with the persistent cache on OR off; kernel log: "segfault ...
-# in libgcc_s.so.1"). Mechanism: when a test's jitted function is garbage
-# collected, XLA:CPU frees its JIT'd executable; the next compilation that
-# unwinds the stack walks the freed code's stale EH frames. Workaround:
-# keep every jit wrapper (and thus its executables) alive for the process
-# lifetime — 128 GB of host RAM dwarfs the leaked executables.
-_jit_keepalive: list = []
-_orig_jit = jax.jit
-
-
-def _retaining_jit(*args, **kwargs):
-    f = _orig_jit(*args, **kwargs)
-    _jit_keepalive.append(f)
-    return f
-
-
-jax.jit = _retaining_jit
+# ---- known XLA:CPU crash when running MANY modules in one process ----------
+# A process that compiles several test modules' worth of MSM programs can
+# SIGSEGV/SIGABRT inside a LATER XLA:CPU compile (fault in libgcc's
+# unwinder per the kernel log). Diagnosed in round 4: it reproduces with
+# the persistent cache fully OFF (MSM_NO_COMPILE_CACHE=1) and with every
+# jit wrapper kept alive, at shifting test positions — i.e. an XLA:CPU
+# heap-corruption bug, not cache serialization and not executable GC.
+# Mitigation: worker isolation —
+#     pytest tests/ -n 4 --dist=loadfile --max-worker-restart=8
+# (a crashed worker costs one failed test; observed 0-1 per full run).
+# Individual modules always pass standalone.
 
 
 @pytest.fixture

@@ -31,8 +31,10 @@ from msm_zprize_tpu.utils.sync import sync
 BASELINE_MS = 122.0  # reference: BLS12-377 2^16 multi-threaded WASM
 LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
 N = 1 << LOG_N
-WARMUP = 1
-RUNS = 3
+# reference discipline (`scripts/msm-weierstrass.ts:27-48`): 5 warmups,
+# 10 timed runs, median +- stddev, fresh scalars per run
+WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
+RUNS = int(os.environ.get("BENCH_RUNS", "10"))
 R_INNER = int(os.environ.get("BENCH_R_INNER", "8"))
 
 
@@ -146,9 +148,11 @@ def main():
             f"{dtm * 1e3:.1f} ms/msm amortized ({R_INNER} msms/dispatch)\n"
         )
     med_thr = statistics.median(thrpt)
+    sd_thr = statistics.stdev(thrpt) if len(thrpt) > 1 else 0.0
     sys.stderr.write(
-        f"[bench] amortized throughput: {med_thr:.1f} ms/msm "
-        f"(vs_baseline {BASELINE_MS / med_thr:.3f}); derived per-dispatch "
+        f"[bench] amortized throughput: {med_thr:.1f} +- {sd_thr:.1f} ms/msm "
+        f"(median +- stddev of {RUNS}; vs_baseline {BASELINE_MS / med_thr:.3f}); "
+        f"derived per-dispatch "
         f"overhead {(statistics.median(times) - med_thr) * R_INNER / (R_INNER - 1):.1f} ms "
         f"vs measured RPC {rpc_ms:.1f} ms\n"
     )
@@ -168,6 +172,11 @@ def main():
     sys.stderr.write("[bench] correctness check vs oracle: OK\n")
 
     med = statistics.median(times)
+    sd = statistics.stdev(times) if len(times) > 1 else 0.0
+    sys.stderr.write(
+        f"[bench] single-dispatch latency: {med:.1f} +- {sd:.1f} ms "
+        f"(median +- stddev of {RUNS} runs after {WARMUP} warmups)\n"
+    )
     print(
         json.dumps(
             {

@@ -96,6 +96,14 @@ def bucket_counts(sorted_digits, n_buckets: int):
     """
     K, B = sorted_digits.shape
     n_out = n_buckets + 1
+    if n_buckets > (1 << 14):
+        # the compare formulation does O(n_buckets * B) work — fine at the
+        # padded engine's L <= 8192, pathological for the halving path's
+        # giant-window edge cases (L up to 2^21, e.g. the c=22 sharded
+        # test). Scatter-add is O(B) and wins there.
+        rows = jnp.arange(K, dtype=jnp.int32)[:, None]
+        out = jnp.zeros((K, n_out), jnp.int32)
+        return out.at[rows, jnp.minimum(sorted_digits, n_out - 1)].add(1)
     iota = jnp.arange(n_out, dtype=jnp.int32)
     C = 8192
     if B % C or B <= C:

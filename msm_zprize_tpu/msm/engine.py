@@ -50,8 +50,8 @@ def slot_count(B: int, L: int) -> int:
     (measured 128.6 vs 130.9 ms). mean + 4.8*sqrt(mean) clears the max
     with margin at every MSM shape up to 2^22 while still ~20% below the
     old 2x-mean schedule. Below mean 32 the relative spread is too wide;
-    keep 2x. M is kept a multiple of 4 so the residual round's M//4 stays
-    integral (the tree handles any even chain via the odd-slot fold)."""
+    keep 2x. M is kept a multiple of 4 (and the residual round rounds
+    M//4 up to even — the fused first-level kernel halves the slot axis)."""
     import math
 
     mean = max(B // L, 1)
@@ -421,7 +421,13 @@ def accumulate_buckets_padded(
         # M/4 slots, so a small overflow costs ~25% of a full round rather
         # than 2x the whole accumulation.
         acc = one_round(acc0, jnp.int32(0), M)
+        # residual slot count must be EVEN: the fused pair_level1 branch
+        # splits the m slots into two equal halves with no odd-slot fold
+        # (M itself is always even — multiple of 4 above mean 32, 2*mean
+        # below — but M//4 can be odd, e.g. mean 32 -> M=60 -> 15, which
+        # crashed the always-traced residual body at trace time)
         M2 = max(M // 4, 2)
+        M2 += M2 & 1
 
         def cond(carry):
             _, p = carry

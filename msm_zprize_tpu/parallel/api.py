@@ -359,6 +359,13 @@ class TwistedEdwards:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](scalars, *points)
 
+    def msm_unsafe(self, scalars, points: ExtPoints, c: int | None = None, mesh=None):
+        """API-parity alias: the reference registers msmUnsafe on both curve
+        families (`src/parallel.ts:251-259`). The unified hwcd-3 add is
+        already complete (handles duplicates/identity), so the safe path IS
+        the fast path here — no separate unsafe pipeline exists."""
+        return self.msm(scalars, points, c, mesh)
+
     def msm_bigint(self, scalars, points, c: int | None = None):
         s = self.scalars_from_ints(scalars)
         p = self.points_from_ints(points)

@@ -34,19 +34,30 @@ def _sig(args) -> str:
 
 
 def _repo_rev() -> str:
-    """Short git revision — exports are keyed by CODE version too (the
-    serialized StableHLO bakes the traced program; a stale artifact would
-    silently pin the old algorithm)."""
+    """Code-version key component: short git revision, plus a hash of the
+    working-tree DIFF when dirty (a rev-only key would silently pin the
+    committed algorithm while iterating on uncommitted changes — the
+    serialized StableHLO bakes the traced program)."""
     import subprocess
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        return subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "rev-parse", "--short", "HEAD"],
+        rev = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=5,
         ).stdout.strip() or "nogit"
     except Exception:
         return "nogit"
+    try:
+        diff = subprocess.run(
+            ["git", "-C", repo, "diff", "HEAD", "--", "*.py"],
+            capture_output=True, timeout=10,
+        ).stdout
+        if diff:
+            rev += "-" + hashlib.sha256(diff).hexdigest()[:8]
+    except Exception:
+        pass
+    return rev
 
 
 def exported_fn(cache_key: str, fn, example_args, verbose: bool = False):
@@ -59,14 +70,21 @@ def exported_fn(cache_key: str, fn, example_args, verbose: bool = False):
     """
     import jax.export
 
-    key = f"{cache_key}_{_sig(example_args)}_{jax.__version__}_{_repo_rev()}"
-    path = os.path.join(CACHE_DIR, key + ".jaxexport")
     backend = jax.default_backend()
+    # the backend is part of the key: exports are platform-specific
+    # (platforms=[backend]), and a wrong-platform artifact deserializes
+    # fine but fails at CALL time — outside any fallback
+    key = f"{cache_key}_{_sig(example_args)}_{jax.__version__}_{backend}_{_repo_rev()}"
+    path = os.path.join(CACHE_DIR, key + ".jaxexport")
 
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
                 exp = jax.export.deserialize(fh.read())
+            if backend not in getattr(exp, "platforms", (backend,)):
+                raise ValueError(
+                    f"artifact platforms {exp.platforms} != backend {backend}"
+                )
             call = jax.jit(exp.call)
             if verbose:
                 sys.stderr.write(f"[aot] loaded {path}\n")

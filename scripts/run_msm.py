@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--evaluate", action="store_true", help="always cross-check vs oracle")
+    ap.add_argument("--amortize", type=int, default=0, metavar="R",
+                    help="ALSO time R MSMs per dispatch (lax.scan over R "
+                         "scalar sets; amortizes the tunnel RPC roundtrip, "
+                         "like bench.py's dual metric)")
     ap.add_argument("--verbose", action="store_true",
                     help="print a per-phase timing + mul-count table "
                          "(single-chip Weierstrass projective pipeline)")
@@ -96,6 +100,71 @@ def main():
     std = statistics.pstdev(times)
     print(f"msm {args.curve} 2^{args.logN}: {med*1e3:.1f} +- {std*1e3:.1f} ms "
           f"({med/N*1e9:.0f} ns/point)")
+
+    if args.amortize and mesh is None:
+        # amortized THROUGHPUT: R MSMs over R scalar sets in ONE dispatch
+        # (sequential lax.scan — no overlap), divided by R; amortizes the
+        # per-dispatch tunnel roundtrip like bench.py's dual metric
+        import jax.numpy as jnp
+
+        R = args.amortize
+        if args.curve == "ed-on-bls12-377":
+            from msm_zprize_tpu.curves.edwards import ExtPoints
+            from msm_zprize_tpu.msm.basic import msm_basic_edwards
+
+            def one(s, pts):
+                return tuple(
+                    msm_basic_edwards(
+                        curve.ops, s, ExtPoints(*pts), curve.scalar.bits, c=args.c
+                    )
+                )
+        else:
+            from msm_zprize_tpu.curves.weierstrass import AffinePoints
+            from msm_zprize_tpu.msm.batched_affine import msm_batched_affine
+
+            def one(s, pts):
+                return tuple(
+                    msm_batched_affine(
+                        curve.ops, curve.scalar, s, AffinePoints(*pts),
+                        args.c, safe=False,
+                        mode=args.mode or "projective",
+                    )
+                )
+
+        def fn_many(stack, *pts):
+            def body(_, s):
+                return None, one(s, pts)
+
+            _, outs = jax.lax.scan(body, None, stack)
+            return outs
+
+        jf = jax.jit(fn_many)
+        n_batches = args.warmup + args.runs
+        stacks = [
+            jax.device_put(
+                jnp.stack(
+                    [curve.random_scalars(N, seed=1000 + r * R + i) for i in range(R)],
+                    axis=0,
+                ),
+                dev,
+            )
+            for r in range(n_batches)
+        ]
+        sync([s[:1, :1, :1] for s in stacks])
+        amor = []
+        for run in range(n_batches):
+            t0 = time.time()
+            outs = jf(stacks[run], *points)
+            sync(tuple(a[:, :1, :1] for a in outs))
+            dt = (time.time() - t0) / R
+            if run >= args.warmup:
+                amor.append(dt)
+            print(f"  amortized run {run}: {dt*1e3:.1f} ms/msm ({R}/dispatch)",
+                  file=sys.stderr, flush=True)
+        meda = statistics.median(amor)
+        stda = statistics.pstdev(amor)
+        print(f"msm {args.curve} 2^{args.logN} amortized ({R}/dispatch): "
+              f"{meda*1e3:.1f} +- {stda*1e3:.1f} ms/msm ({meda/N*1e9:.0f} ns/point)")
 
     if args.verbose and args.curve != "ed-on-bls12-377" and mesh is None:
         from msm_zprize_tpu.utils.phases import print_phase_table, profile_msm

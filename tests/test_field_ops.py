@@ -114,3 +114,44 @@ def test_montgomery_conversion(F, rng):
     assert F.unpack(mont, montgomery=True) == vals
     back = F.from_montgomery(mont)
     assert F.unpack(back, montgomery=False) == vals
+
+
+# ---- full example-field matrix (reference: `src/field.test.ts:15-25` runs
+# every example field x w in {26..31}; here every EXAMPLE_FIELD x the
+# production w=12 and one alternate w=11 — the int32 engine's carry budget
+# caps w well below the reference's 64-bit-accumulator range) ---------------
+
+from msm_zprize_tpu.curves.example_fields import EXAMPLE_FIELDS
+
+
+@pytest.mark.parametrize("w", [12, 11])
+@pytest.mark.parametrize("name", list(EXAMPLE_FIELDS), ids=list(EXAMPLE_FIELDS))
+def test_field_matrix(name, w, rng):
+    """Differential core-op suite (mul/square/add/sub/neg/reduce/predicates,
+    unreduced [0,2p) closure, montgomery round-trip) on the PRODUCTION
+    engine across the full example-field matrix, including the 64-bit
+    goldilocks and 31-bit babybear edge schemes."""
+    p = EXAMPLE_FIELDS[name]
+    F = make_field(p, w)
+    a = [rng.randrange(p) for _ in range(B)]
+    b = [rng.randrange(p) for _ in range(B)]
+    xa, xb = jnp.asarray(F.pack(a)), jnp.asarray(F.pack(b))
+    assert F.unpack(F.add(xa, xb)) == [(u + v) % p for u, v in zip(a, b)]
+    assert F.unpack(F.sub(xa, xb)) == [(u - v) % p for u, v in zip(a, b)]
+    assert F.unpack(F.montmul(xa, xb)) == [u * v % p for u, v in zip(a, b)]
+    assert F.unpack(F.montsquare(xa)) == [u * u % p for u in a]
+    assert F.unpack(F.neg(xa)) == [(-u) % p for u in a]
+    # unreduced [0,2p) inputs stay correct through mul
+    vals_u, xu = _rand_unreduced(F, rng, count=8)
+    rinv = pow(F.R, -1, p)
+    got = F.unpack(F.montmul(xu, xu), montgomery=False)
+    assert got == [u * u * rinv % p for u in vals_u]
+    # reduce + predicates
+    assert F.unpack(F.reduce(xu), montgomery=False, reduce=False) == [
+        v % p for v in vals_u
+    ]
+    reps = jnp.asarray(F.pack([0, p, 1], montgomery=False))
+    assert F.is_zero(reps).tolist() == [True, True, False]
+    # montgomery round-trip
+    raw = jnp.asarray(F.pack(a[:8], montgomery=False))
+    assert F.unpack(F.from_montgomery(F.to_montgomery(raw)), montgomery=False) == a[:8]

@@ -92,6 +92,11 @@ def test_msm_edwards(ed, rng):
     scs = [rng.randrange(ed.params.order) for _ in range(N)]
     want = Ec.to_affine(msm_oracle(Ec, scs, pts, ed.params.order.bit_length()))
     assert ed.msm_bigint(scs, [Ec.to_affine(p) for p in pts]) == want
+    # msm_unsafe parity alias (`src/parallel.ts:251-259`): same result,
+    # same compiled program (unified adds are already complete)
+    s = ed.scalars_from_ints(scs)
+    p = ed.points_from_ints([Ec.to_affine(q) for q in pts])
+    assert ed.result_to_int(ed.msm_unsafe(s, p)) == want
 
 
 def test_msm_flagship_sharded(bls, rng, no_compile_cache):

@@ -134,6 +134,50 @@ def test_msm_edwards_padded_mode():
     assert got == want
 
 
+def test_msm_padded_mid_occupancy_mean32(bls):
+    """Mid-occupancy padded engine in the DEFAULT suite (one compile):
+    N=1024, c=7 -> L=64, B=2N=2048, mean occupancy 32 — the first shape on
+    the sqrt slot schedule (M = mean + 4.8*sqrt(mean) = 60), whose residual
+    round traced with an ODD M2=15 slot count and crashed the fused
+    pair_level1 split at trace time (r4 ADVICE high; the residual body is
+    always traced even when never executed). Also the promoted
+    realistic-occupancy case: spread/fold machinery does real work here."""
+    rng = random.Random(4242)
+    N = 1024
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    _check_w(bls, scs, pts, "projective", 7)
+
+
+def test_msm_padded_residual_trace_2e14():
+    """Trace-only regression for the odd-M2 residual-round crash at the
+    reported repro shape (N=2^14, default c=11 -> mean 32): eval_shape
+    traces the full flagship program (incl. the always-traced residual
+    while_loop body) without compiling it."""
+    import jax
+    import jax.numpy as jnp
+
+    from msm_zprize_tpu.curves.weierstrass import AffinePoints
+    from msm_zprize_tpu.msm.batched_affine import msm_batched_affine
+
+    bls = Weierstrass.create(BLS12_377)
+    N = 1 << 14
+    n_s = bls.scalars_from_ints([1]).shape[0]
+    n_c = bls.ops.F.n
+    s = jax.ShapeDtypeStruct((n_s, N), jnp.int32)
+    px = jax.ShapeDtypeStruct((n_c, N), jnp.int32)
+    py = jax.ShapeDtypeStruct((n_c, N), jnp.int32)
+    pinf = jax.ShapeDtypeStruct((N,), jnp.int32)
+    out = jax.eval_shape(
+        lambda ss, x, y, i: msm_batched_affine(
+            bls.ops, bls.scalar, ss, AffinePoints(x, y, i), None,
+            mode="projective",
+        ),
+        s, px, py, pinf,
+    )
+    assert out.X.shape[-1] == 1
+
+
 # ---- sharded paths past toy shapes (VERDICT r3 weak #5/#6) -----------------
 
 

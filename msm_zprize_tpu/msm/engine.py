@@ -37,26 +37,27 @@ __all__ = [
 
 
 def slot_count(B: int, L: int) -> int:
-    """Slots per bucket M for the padded engine.
+    """Slots per bucket M for the padded engine's MAIN round.
 
     The gather that fills the (M, K, L) slot layout is INDEX-count bound
-    (~12.5 ns/index on v5e regardless of row count, scripts/gather_bench4),
-    and the tree does M-1 adds per bucket — so M is the accumulation
-    phase's unit cost. Headroom must clear the MAXIMUM occupancy across
-    all K*L buckets, not the mean: for Poisson(mean) counts the max over
-    n buckets concentrates at mean + sigma*sqrt(2 ln n) (~4.5 sigma at
-    the 2^16 shape) — an M of 1.5x mean (~4 sigma) triggered the residual
-    M/4-slot round on essentially every run, erasing its own saving
-    (measured 128.6 vs 130.9 ms). mean + 4.8*sqrt(mean) clears the max
-    with margin at every MSM shape up to 2^22 while still ~20% below the
-    old 2x-mean schedule. Below mean 32 the relative spread is too wide;
-    keep 2x. M is kept a multiple of 4 (and the residual round rounds
-    M//4 up to even — the fused first-level kernel halves the slot axis)."""
+    (~13-16 ns/index on v5e regardless of row count, scripts/gather_bench4
+    and r5_probe: the 2-step composed gather is ~46 ms of the 80 ms
+    accumulation at 2^16), and the tree does M-1 adds per bucket — so M is
+    the accumulation phase's unit cost. Rounds-4's schedule cleared the
+    MAXIMUM Poisson occupancy over all K*L buckets (mean + 4.8*sqrt(mean),
+    ~4.5 sigma at the 2^16 shape) because the only overflow handler was a
+    GLOBAL M/4-slot residual round — almost as expensive as the main one.
+    Round 5 adds a COMPACTED top-T residual (top_k overflowing buckets
+    only, ~1k gather indices per round), so the main round now budgets
+    just mean + 2*sqrt(mean): ~2.3% of buckets overflow into a residual
+    whose cost is ~100x smaller per slot. Below mean 32 the relative
+    spread is too wide; keep 2x. M is a multiple of 4 and even everywhere
+    (the fused first-level kernel halves the slot axis)."""
     import math
 
     mean = max(B // L, 1)
     if mean >= 32:
-        return (mean + math.ceil(4.8 * math.sqrt(mean)) + 3) & ~3
+        return (mean + math.ceil(2.0 * math.sqrt(mean)) + 3) & ~3
     return max(2 * mean, 2)
 
 
@@ -342,14 +343,16 @@ def accumulate_buckets_padded(
 
         order_flat = order.reshape(-1)  # packed position | sign
 
-        def tree_from(cur, m: int):
-            # cur: accumulator leaves (.., m, Kc*L); pairwise adds down to
+        def tree_from(cur, m: int, lanes: int | None = None):
+            # cur: accumulator leaves (.., m, lanes); pairwise adds down to
             # 1. Slot-half j pairs with j + m/2 (contiguous HALVES of the
             # major slot axis). Any pairing is valid — the tree just sums
             # all slots — and identity padding flows through the complete
             # add. Odd m folds the last slot into the first (one extra
-            # Kc*L-lane add), so M need not be a power of two — the 1.5x-
+            # lanes-wide add), so M need not be a power of two — the 1.5x-
             # mean slot schedule produces chains like 96 -> ... -> 3.
+            if lanes is None:
+                lanes = Kc * L
             while m > 1:
                 if m % 2:
                     first = pair_add(
@@ -367,7 +370,7 @@ def accumulate_buckets_padded(
                     tuple(a[..., half:, :] for a in cur),
                 )
                 m = half
-            return tuple(a.reshape(a.shape[:-2] + (Kc * L,)) for a in cur)
+            return tuple(a.reshape(a.shape[:-2] + (lanes,)) for a in cur)
 
         def one_round(acc, p, m: int):
             # slot layout (m, Kc, L): the slot axis is MAJOR so each tree
@@ -414,31 +417,118 @@ def accumulate_buckets_padded(
             vma,
         )
 
-        # round 1 always runs at the full M slots; the RESIDUAL tail (rare:
-        # order-dependent partial top windows whose digit range is not a
-        # power of two defeat the spread — e.g. Edwards' bits 242..253
-        # window — or adversarial duplicate-scalar inputs) re-rounds at
-        # M/4 slots, so a small overflow costs ~25% of a full round rather
-        # than 2x the whole accumulation.
+        # round 1 always runs at the full M slots. M now budgets only
+        # mean + 2*sqrt(mean) (slot_count), so ~2% of buckets overflow —
+        # handled by a COMPACTED residual: top_k picks the T highest-
+        # occupancy virtual buckets and further rounds gather only
+        # (MR, T) slots (~1k indices, vs M/4 * Kc * L ~ 0.5M for the old
+        # global residual). The global path remains as the fallback for
+        # adversarial inputs (e.g. duplicate scalars) where more than T
+        # buckets overflow at once.
         acc = one_round(acc0, jnp.int32(0), M)
-        # residual slot count must be EVEN: the fused pair_level1 branch
-        # splits the m slots into two equal halves with no odd-slot fold
-        # (M itself is always even — multiple of 4 above mean 32, 2*mean
-        # below — but M//4 can be odd, e.g. mean 32 -> M=60 -> 15, which
-        # crashed the always-traced residual body at trace time)
-        M2 = max(M // 4, 2)
-        M2 += M2 & 1
 
-        def cond(carry):
-            _, p = carry
-            return p < max_occ
+        # per-VIRTUAL-bucket occupancy: virtual bucket v=(id, r) holds
+        # ranks r, r+S, ... < cnt  =>  occ = ceil((cnt - r) / S)
+        occ = jnp.maximum((v_cnt - v_r + S - 1) // S, 0)  # (Kc, L)
+        n_over = jnp.sum(occ > M)
+        T = min(1024, Kc * L)
+        MR = min(32, M)
+        MR += MR & 1  # fused level-1 kernel needs an even slot split
 
-        def body(carry):
-            a, p = carry
-            return one_round(a, p, M2), p + M2
+        def compact_residual(acc):
+            top_occ, top_idx = jax.lax.top_k(occ.reshape(-1), T)
+            g_off = jnp.take(v_off.reshape(-1), top_idx)
+            g_vr = jnp.take(v_r.reshape(-1), top_idx)
+            g_S = jnp.take(jnp.broadcast_to(S, (Kc, L)).reshape(-1), top_idx)
+            g_cnt = jnp.take(v_cnt.reshape(-1), top_idx)
+            kbase_t = (top_idx // L) * B  # window offset into order_flat
+            maxo = top_occ[0]
 
-        acc, _ = jax.lax.while_loop(
-            cond, body, (acc, pvary_like(jnp.int32(M), vma))
+            def one_round_t(accT, p):
+                j = jnp.arange(MR, dtype=jnp.int32)[:, None]  # (MR, 1)
+                rank = g_vr[None, :] + (p + j) * g_S[None, :]  # (MR, T)
+                valid = (rank < g_cnt[None, :]).reshape(-1)
+                pos = jnp.clip(g_off[None, :] + rank, 0, B - 1)
+                flat = (pos + kbase_t[None, :]).reshape(-1)
+                src2 = jnp.take(order_flat, flat)
+                src = src2 & POS_MASK
+                sg = src2 >> sign_shift
+                g = jnp.take(stacked, src, axis=-1)
+                leaves = _unstack(g, splits, pt_type)
+                if pair_level1 is not None:
+                    half = MR // 2
+                    hsz = half * T
+                    a = tuple(x[..., :hsz] for x in leaves)
+                    b = tuple(x[..., hsz:] for x in leaves)
+                    P = pair_level1(
+                        a, b, sg[:hsz], sg[hsz:], valid[:hsz], valid[hsz:]
+                    )
+                    cur = tuple(x.reshape(x.shape[:-1] + (half, T)) for x in P)
+                    sums = tree_from(cur, half, lanes=T)
+                else:
+                    P = prepare(leaves, sg, valid)
+                    cur = tuple(x.reshape(x.shape[:-1] + (MR, T)) for x in P)
+                    sums = tree_from(cur, MR, lanes=T)
+                return pair_add(accT, sums)
+
+            accT = pvary_like(
+                tuple(a.reshape(a.shape[:-2] + (T,)) for a in zero_like(1, T)),
+                vma,
+            )
+
+            def condt(carry):
+                _, p = carry
+                return p < maxo
+
+            def bodyt(carry):
+                a, p = carry
+                return one_round_t(a, p), p + MR
+
+            accT, _ = jax.lax.while_loop(
+                condt, bodyt, (accT, pvary_like(jnp.int32(M), vma))
+            )
+            # ONE full-width combine: scatter the T partial sums into an
+            # identity-valued delta (non-overflowing top entries carry the
+            # identity — a no-op under the complete add)
+            idz = pvary_like(
+                tuple(
+                    a.reshape(a.shape[:-2] + (Kc * L,)) for a in zero_like(Kc, L)
+                ),
+                vma,
+            )
+            delta = tuple(
+                z.at[..., top_idx].set(t, mode="drop", unique_indices=True)
+                for z, t in zip(idz, accT)
+            )
+            return pair_add(acc, delta)
+
+        def global_residual(acc):
+            # residual slot count must be EVEN: the fused pair_level1
+            # branch splits the slots into two equal halves (M//4 can be
+            # odd, e.g. mean 32 -> M=60 -> 15)
+            M2 = max(M // 4, 2)
+            M2 += M2 & 1
+
+            def cond(carry):
+                _, p = carry
+                return p < max_occ
+
+            def body(carry):
+                a, p = carry
+                return one_round(a, p, M2), p + M2
+
+            acc2, _ = jax.lax.while_loop(
+                cond, body, (acc, pvary_like(jnp.int32(M), vma))
+            )
+            return acc2
+
+        acc = jax.lax.cond(
+            n_over == 0,
+            lambda a: a,
+            lambda a: jax.lax.cond(
+                n_over <= T, compact_residual, global_residual, a
+            ),
+            acc,
         )
         acc = tuple(a.reshape(a.shape[:-1] + (Kc, L)) for a in acc)
 

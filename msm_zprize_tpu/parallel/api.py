@@ -284,7 +284,15 @@ class Weierstrass:
                 pts = W.to_affine(acc)
                 return pts.x, pts.y, pts.inf
 
-            self._jit_cache[key] = jax.jit(fn)
+            # XLA compile of this program is ~110 s and was the dominant
+            # point-generation cost (r5 probe: compile 111.8 s, execute
+            # 4 ms at 2^16); jax.export AOT-caches it across processes
+            from ..utils.aot_cache import exported_fn
+
+            self._jit_cache[key] = exported_fn(
+                f"rpf_{self.label}_{N}_{K}_{c}", fn,
+                (at.x, at.y, at.inf, idx),
+            )
         return AffinePoints(*self._jit_cache[key](at.x, at.y, at.inf, idx))
 
 
@@ -417,5 +425,11 @@ class TwistedEdwards:
                     acc = E.add(acc, ExtPoints(*(a[..., k, :] for a in picked)))
                 return tuple(E.batch_normalize(acc))
 
-            self._jit_cache[key] = jax.jit(fn)
+            # AOT-cached: XLA compile dominates generation cost (see the
+            # Weierstrass twin above)
+            from ..utils.aot_cache import exported_fn
+
+            self._jit_cache[key] = exported_fn(
+                f"rpf_{self.label}_{N}_{K}_{c}", fn, (*table, idx)
+            )
         return ExtPoints(*self._jit_cache[key](*table, idx))

@@ -1,13 +1,19 @@
-"""Disk cache for benchmark input points.
+"""Benchmark input points: deterministic on-device regeneration.
 
 The reference harness keeps fixed points across timed runs
 (`scripts/msm-weierstrass.ts:20-48`); generating them is setup, not MSM.
-On this environment the axon backend cannot reuse in-process compiled
-state across bench processes, so `random_points_fast`'s generator program
-re-runs per process (~60-100 s at 2^16-2^20, dominated by trace+compile).
-Caching the GENERATED POINTS (plain int32 limb arrays, keyed by
-curve/N/seed) makes bench setup a ~1 s np.load; loaded points are
-spot-checked on-curve before use.
+Round-4 cached the GENERATED POINTS as npz — but writing that cache reads
+the full arrays back through the axon tunnel (~3.4 MB/s measured), which
+at 2^21 is ~550 MB ≈ minutes, and the real cost turned out to be XLA
+compile of the generator program (111.8 s at 2^16; execution is 4 ms).
+Round 5 instead AOT-caches the generator itself (`random_points_fast` uses
+`utils.aot_cache`), so regeneration per process is ~1 s host table build +
+AOT load + ms-scale execution, points never leave the device, and the
+fixed seed keeps them deterministic across processes.
+
+A legacy npz cache (if present from an earlier round) is still honored —
+loading is cheap; only writing was pathological — but new caches are not
+written.
 """
 
 from __future__ import annotations
@@ -24,25 +30,20 @@ CACHE_DIR = os.environ.get(
 
 
 def cached_random_points(curve, N: int, seed: int):
-    """random_points_fast with a transparent npz disk cache + validation."""
+    """Deterministic benchmark points for (curve, N, seed); device-resident."""
     from ..curves.edwards import ExtPoints
     from ..curves.weierstrass import AffinePoints
 
-    os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"pts_{curve.label}_{N}_{seed}.npz")
     pt_type = AffinePoints if hasattr(curve.ops, "affine_is_on_curve") else ExtPoints
 
     if os.path.exists(path):
-        # validation inside the same guard: a stale cache with an
-        # incompatible limb scheme/shape must fall through to regeneration,
-        # not crash. The on-curve spot check runs on the HOST via the bigint
-        # oracle — a device-side check compiles a whole kernel chain, which
-        # on this backend costs ~60 s and silently defeated the cache.
+        # legacy npz from an earlier round: validate a head slice on the
+        # HOST via the bigint oracle (a stale cache with an incompatible
+        # limb scheme must fall through to regeneration, not crash)
         try:
             data = np.load(path)
             leaves_np = [data[f"arr_{i}"] for i in range(len(data.files))]
-            # validate BEFORE any device transfer (a device_get readback of
-            # the full arrays through the axon tunnel takes minutes)
             head = pt_type(*(a[..., :8] for a in leaves_np))
             if pt_type is AffinePoints:
                 ok = all(
@@ -56,7 +57,6 @@ def cached_random_points(curve, N: int, seed: int):
                 )
             if ok:
                 return pt_type(*(jnp.asarray(a) for a in leaves_np))
-            # stale cache (e.g. limb scheme changed): fall through, refresh
         except Exception:
             pass
 
@@ -64,5 +64,4 @@ def cached_random_points(curve, N: int, seed: int):
 
     pts = curve.random_points_fast(N, seed=seed)
     jax.block_until_ready(pts)
-    np.savez(path, *[np.asarray(a) for a in pts])
     return pts

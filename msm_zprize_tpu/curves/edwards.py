@@ -152,6 +152,18 @@ class EdwardsOps:
     def double(self, P):
         return self.add(P, P)
 
+    def double_k(self, P: ExtPoints, k: int) -> ExtPoints:
+        """k chained unified doublings — ONE fused kernel invocation on TPU
+        (see `WeierstrassOps.proj_double_k` for the launch-overhead
+        rationale; the Edwards Horner tail has ~2x the window count)."""
+        if k <= 0:
+            return P
+        if self._use_kernels():
+            return ExtPoints(*self.kernels.ed_double_k(*P, k))
+        for _ in range(k):
+            P = self.double(P)
+        return P
+
     def scale_const(self, k: int, P: ExtPoints) -> ExtPoints:
         R = None
         Q = P

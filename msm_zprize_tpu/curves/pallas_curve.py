@@ -299,6 +299,34 @@ class CurveKernels(_KernelBase):
 
         return body
 
+    def _proj_double_k_body(self, k: int):
+        """k chained complete doublings in ONE kernel invocation.
+
+        The Horner tail does c doublings per window step on a tiny batch;
+        per-invocation overhead (~60 us measured on v5e via the axon
+        backend) dominates there, so c*(K-1) separate proj_double calls
+        cost ~8 ms of the 2^16 MSM. Chaining in-kernel replays the exact
+        store/load round trip between iterations (relax to the storage
+        contract, then re-enter with storage bounds), so the interval
+        proofs hold unchanged."""
+        ctx = self.ctx
+
+        def body(x1r, y1r, z1r, xo, yo, zo):
+            P = [self._rd(r) for r in (x1r, y1r, z1r)]
+            for _ in range(k):
+                out = rcb9(ctx, self._mul_b3, *P)
+                P = [pf.fv_stored(ctx, pf.f_relax(ctx, o).arr) for o in out]
+            for r, o in zip((xo, yo, zo), P):
+                self._wr(r, o)
+
+        return body
+
+    def proj_double_k(self, X1, Y1, Z1, k: int):
+        name = f"proj_dbl{k}"
+        if name not in self._bodies:
+            self._bodies[name] = self._proj_double_k_body(k)
+        return self._call(self._bodies[name], (X1, Y1, Z1), 3, name)
+
     def _proj_add_mixed_body(self):
         """(X1,Y1,Z1) + affine (x2, y2, inf2): RCB Alg. 8 + inf select."""
         ctx = self.ctx
@@ -446,6 +474,28 @@ class EdwardsKernels(_KernelBase):
                 self._wr(r, o)
 
         return body
+
+    def _ed_double_k_body(self, k: int):
+        """k chained unified doublings (hwcd-3 with both operands equal) in
+        ONE kernel invocation — the Horner-tail launch-overhead fix (see
+        CurveKernels._proj_double_k_body)."""
+        ctx, kc = self.ctx, self.k_mont
+
+        def body(x1r, y1r, z1r, t1r, xo, yo, zo, to):
+            P = [self._rd(r) for r in (x1r, y1r, z1r, t1r)]
+            for _ in range(k):
+                out = hwcd3(ctx, kc, *P, *P)
+                P = [pf.fv_stored(ctx, pf.f_relax(ctx, o).arr) for o in out]
+            for r, o in zip((xo, yo, zo, to), P):
+                self._wr(r, o)
+
+        return body
+
+    def ed_double_k(self, X1, Y1, Z1, T1, k: int):
+        name = f"ed_dbl{k}"
+        if name not in self._bodies:
+            self._bodies[name] = self._ed_double_k_body(k)
+        return self._call(self._bodies[name], (X1, Y1, Z1, T1), 4, name)
 
     def ed_add(self, X1, Y1, Z1, T1, X2, Y2, Z2, T2, mask=None):
         if mask is None:

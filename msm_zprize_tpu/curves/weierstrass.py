@@ -167,6 +167,19 @@ class WeierstrassOps:
     def proj_neg(self, P: ProjectivePoints) -> ProjectivePoints:
         return ProjectivePoints(P.X, self.F.neg(P.Y), P.Z)
 
+    def proj_double_k(self, P: ProjectivePoints, k: int) -> ProjectivePoints:
+        """k chained complete doublings. On TPU this is ONE fused kernel
+        invocation — the Horner tail's c-doublings-per-window otherwise pay
+        ~60 us of per-invocation overhead each on tiny batches (measured
+        ~8 ms of the 2^16 MSM)."""
+        if k <= 0:
+            return P
+        if self._use_kernels(*P):
+            return ProjectivePoints(*self.kernels.proj_double_k(*P, k))
+        for _ in range(k):
+            P = self.proj_double(P)
+        return P
+
     def proj_double(self, P: ProjectivePoints) -> ProjectivePoints:
         """Complete doubling, Renes-Costello-Batina Alg. 9 (a = 0): 8 muls,
         branchless — handles the identity (0:1:0) without masks. Valid on

@@ -38,6 +38,9 @@ class _ProjAcc(NamedTuple):
     def double(self, a):
         return self.W.proj_double(a)
 
+    def double_k(self, a, k):
+        return self.W.proj_double_k(a, k)
+
 
 class _EdAcc(NamedTuple):
     E: EdwardsOps
@@ -56,6 +59,9 @@ class _EdAcc(NamedTuple):
 
     def double(self, a):
         return self.E.double(a)
+
+    def double_k(self, a, k):
+        return self.E.double_k(a, k)
 
 
 def msm_basic_projective(
@@ -86,7 +92,7 @@ def msm_basic_projective(
     )
     c0 = max((c - 1) // 2, 1)
     per_window = engine.reduce_buckets_log(sums, c0, acc)
-    return engine.horner(per_window, c, acc.add, acc.double, None)
+    return engine.horner(per_window, c, acc.add, acc.double, None, double_k=acc.double_k)
 
 
 def accumulate_edwards(
@@ -116,7 +122,7 @@ def finalize_edwards(E: EdwardsOps, sums, empty, c: int) -> ExtPoints:
     acc = _EdAcc(E)
     c0 = max((c - 1) // 2, 1)
     per_window = engine.reduce_buckets_log(sums, c0, acc)
-    return engine.horner(per_window, c, acc.add, acc.double, None)
+    return engine.horner(per_window, c, acc.add, acc.double, None, double_k=acc.double_k)
 
 
 def accumulate_edwards_padded(

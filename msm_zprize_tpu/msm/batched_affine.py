@@ -45,6 +45,9 @@ class _AffineAcc(NamedTuple):
     def double(self, a):
         return self.W.proj_double(a)
 
+    def double_k(self, a, k):
+        return self.W.proj_double_k(a, k)
+
 
 def glv_prep(W: WeierstrassOps, S: GlvScalar, scalars, points: AffinePoints, c: int):
     """Stages prep-1/prep-2: GLV decompose + endomorphism expansion (2N
@@ -217,7 +220,7 @@ def finalize_affine_buckets(W: WeierstrassOps, sums, empty, c: int) -> Projectiv
     acc = _AffineAcc(W)
     c0 = max((c - 1) // 2, 1)
     per_window = engine.reduce_buckets(sums, empty, c0, acc)
-    return engine.horner(per_window, c, acc.add, acc.double, None)
+    return engine.horner(per_window, c, acc.add, acc.double, None, double_k=acc.double_k)
 
 
 class _ProjAcc(NamedTuple):
@@ -242,6 +245,9 @@ class _ProjAcc(NamedTuple):
     def double(self, a):
         return self.W.proj_double(a)
 
+    def double_k(self, a, k):
+        return self.W.proj_double_k(a, k)
+
 
 def finalize_projective_buckets(W: WeierstrassOps, sums_proj, c: int) -> ProjectivePoints:
     """Reduction + horner when bucket sums are already projective (identity
@@ -249,7 +255,7 @@ def finalize_projective_buckets(W: WeierstrassOps, sums_proj, c: int) -> Project
     acc = _ProjAcc(W)
     c0 = max((c - 1) // 2, 1)
     per_window = engine.reduce_buckets_log(sums_proj, c0, acc)
-    return engine.horner(per_window, c, acc.add, acc.double, None)
+    return engine.horner(per_window, c, acc.add, acc.double, None, double_k=acc.double_k)
 
 
 def msm_batched_affine(

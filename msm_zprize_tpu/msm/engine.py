@@ -50,13 +50,13 @@ def slot_count(B: int, L: int) -> int:
     Round 5 adds a COMPACTED top-T residual (top_k overflowing buckets
     only, ~1k gather indices per round), so the main round now budgets
     just mean + 2*sqrt(mean): ~2.3% of buckets overflow into a residual
-    whose cost is ~100x smaller per slot. Below mean 32 the relative
-    spread is too wide; keep 2x. M is a multiple of 4 and even everywhere
-    (the fused first-level kernel halves the slot axis)."""
+    whose cost is ~100x smaller per slot. Below mean 16 the sqrt margin
+    reaches 2x-mean anyway; keep 2x there. M is a multiple of 4 and even
+    everywhere (the fused first-level kernel halves the slot axis)."""
     import math
 
     mean = max(B // L, 1)
-    if mean >= 32:
+    if mean >= 16:
         return (mean + math.ceil(2.0 * math.sqrt(mean)) + 3) & ~3
     return max(2 * mean, 2)
 
@@ -682,8 +682,12 @@ def reduce_buckets(bucket_sums, empty, c0: int, acc_ops):
         tot = acc_ops.add(left, right)
         Dcur = half
     # S = tot + 2^c0 * wr
-    for _ in range(c0):
-        wr = acc_ops.double(wr)
+    dk = getattr(acc_ops, "double_k", None)
+    if dk is not None and c0 > 0:
+        wr = dk(wr, c0)
+    else:
+        for _ in range(c0):
+            wr = acc_ops.double(wr)
     S = acc_ops.add(tot, wr)  # (..., K, 1)
     return type(S)(*(a[..., 0] for a in S))
 
@@ -776,16 +780,23 @@ def reduce_buckets_log(bucket_sums, c0: int, acc_ops):
         W = tree_sum(tail, -1, D)  # (.., K, 1)
     else:
         W = pvary_like(pt_type(*acc_ops.zero(K, 1)), vma)
-    for _ in range(c0):
-        W = acc_ops.double(W)
+    dk = getattr(acc_ops, "double_k", None)
+    if dk is not None and c0 > 0:
+        W = dk(W, c0)
+    else:
+        for _ in range(c0):
+            W = acc_ops.double(W)
     S = acc_ops.add(tot, W)  # (.., K, 1)
     return pt_type(*(a[..., 0] for a in S))
 
 
-def horner(window_sums, c: int, add, double, zero1):
+def horner(window_sums, c: int, add, double, zero1, double_k=None):
     """result = sum_k 2^(k*c) * W_k via Horner from the top window.
 
     window_sums: pytree leaves (..., K); returns leaves (..., 1).
+    ``double_k(P, k)``, when given, performs k chained doublings in one
+    call (the fused TPU kernel): per-invocation overhead dominates this
+    tail (tiny batch), so c*(K-1) separate doubles cost ~8 ms at 2^16.
     """
     leaves = window_sums[0]
     K = leaves.shape[-1]
@@ -795,8 +806,11 @@ def horner(window_sums, c: int, add, double, zero1):
     ws = type(window_sums)(*(jnp.moveaxis(a[..., : K - 1], -1, 0) for a in window_sums))
 
     def body(carry, wk):
-        # c doublings as a fori_loop: 1 traced double instead of c
-        carry = jax.lax.fori_loop(0, c, lambda _, v: double(v), carry)
+        if double_k is not None:
+            carry = double_k(carry, c)
+        else:
+            # c doublings as a fori_loop: 1 traced double instead of c
+            carry = jax.lax.fori_loop(0, c, lambda _, v: double(v), carry)
         # restore the explicit trailing batch dim the scan sliced away
         carry = add(carry, type(window_sums)(*(a[..., None] for a in wk)))
         return carry, None

@@ -215,7 +215,8 @@ def _sharded_affine_fns(
 
     def horner(*leaves):
         return engine.horner(
-            ProjectivePoints(*leaves), c, acc_ops.add, acc_ops.double, None
+            ProjectivePoints(*leaves), c, acc_ops.add, acc_ops.double, None,
+            double_k=acc_ops.double_k
         )
 
     return acc, jax.jit(horner)
@@ -289,7 +290,8 @@ def _sharded_edwards_fns(
 
     def horner(*leaves):
         return engine.horner(
-            ExtPoints(*leaves), c, acc_ops.add, acc_ops.double, None
+            ExtPoints(*leaves), c, acc_ops.add, acc_ops.double, None,
+            double_k=acc_ops.double_k
         )
 
     return acc, jax.jit(horner)

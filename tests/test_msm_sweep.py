@@ -233,6 +233,33 @@ def test_msm_sharded_window_edges(bls, c):
     assert got == want
 
 
+@pytest.mark.skipif(not SLOW, reason="MSM_SLOW_TESTS=1: ~50 min XLA:CPU compile")
+def test_msm_2d_mesh_window_deficit(bls):
+    """K < d on the 2-D (dcn, ici) hierarchical mesh: c=19 gives K=7
+    windows over 8 devices, so some chips hold only identity padding
+    windows through BOTH combine tiers (r4's out-spec ordering bug class).
+    Also exercises bucket_counts' giant-L scatter fallback (L = 2^18)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from msm_zprize_tpu.parallel.mesh import make_mesh2
+
+    rng = random.Random(1)
+    N = 16
+    pts = [bls.oracle_affine.random(rng) for _ in range(N)]
+    scs = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    C = bls.oracle_projective
+    got = bls.result_to_int(
+        bls.msm(
+            bls.scalars_from_ints(scs), bls.points_from_ints(pts),
+            c=19, mesh=make_mesh2(2, 4),
+        )
+    )
+    want = C.to_affine(msm_oracle(C, scs, [C.from_affine(p) for p in pts], 253))
+    assert got == want
+
+
 @pytest.mark.skipif(not SLOW, reason="MSM_SLOW_TESTS=1 for sharded adversarial runs")
 def test_msm_sharded_adversarial(bls):
     """Duplicate scalars through the SHARDED padded engine: every point

@@ -126,6 +126,13 @@ class Fma51WeierstrassOps:
     def proj_double(self, P: ProjectivePoints):
         return ProjectivePoints(*self.kernels.proj_double(*P))
 
+    def proj_double_k(self, P: ProjectivePoints, k: int):
+        """k chained doublings in one kernel (launch-overhead fix for the
+        Horner tail; see WeierstrassOps.proj_double_k)."""
+        if k <= 0:
+            return P
+        return ProjectivePoints(*self.kernels.proj_double_k(*P, k))
+
     def proj_add_affine(self, P: ProjectivePoints, Q: AffinePoints):
         return ProjectivePoints(
             *self.kernels.proj_add_mixed(*P, Q.x, Q.y, Q.inf)

@@ -345,6 +345,14 @@ class MontgomeryFp:
         scarce resource on TPU, not multiply throughput."""
         if e == 0:
             return self.ones_mont(*x.shape[1:])
+        if _montmul_impl() == "pallas" and e.bit_length() > 16:
+            # long chains (Fermat inverse, sqrt towers): the scan issues 2
+            # kernel launches per bit and launch overhead dominates on the
+            # tiny batches these run at — the fused kernel does the whole
+            # chain in ONE invocation (in-kernel fori_loop)
+            from .pallas_mul import exp_const_pallas
+
+            return exp_const_pallas(self, x, e)
         nbits = e.bit_length()
         n_win = -(-nbits // window)
         digits = np.array(

@@ -431,7 +431,12 @@ def accumulate_buckets_padded(
         # ranks r, r+S, ... < cnt  =>  occ = ceil((cnt - r) / S)
         occ = jnp.maximum((v_cnt - v_r + S - 1) // S, 0)  # (Kc, L)
         n_over = jnp.sum(occ > M)
-        T = min(1024, Kc * L)
+        # T must cover a WHOLE over-occupied top window (a window whose
+        # digit range is just over L/2 gets S=1 from the spread and its
+        # every bucket runs ~range/L above the global mean — e.g. Edwards
+        # c=12 has 1127 such buckets, which overflowed a T of 1024 and fell
+        # back to the global residual, ~140 ms of the 2^18 MSM)
+        T = min(2048, Kc * L)
         MR = min(32, M)
         MR += MR & 1  # fused level-1 kernel needs an even slot split
 
@@ -522,14 +527,24 @@ def accumulate_buckets_padded(
             )
             return acc2
 
-        acc = jax.lax.cond(
-            n_over == 0,
-            lambda a: a,
-            lambda a: jax.lax.cond(
-                n_over <= T, compact_residual, global_residual, a
-            ),
-            acc,
-        )
+        import os as _os
+
+        _rmode = _os.environ.get("MSM_TPU_RESIDUAL", "auto")
+        if _rmode == "off":  # DIAGNOSIS ONLY: drops overflow contributions
+            pass
+        elif _rmode == "global":
+            acc = global_residual(acc)
+        elif _rmode == "compact":
+            acc = compact_residual(acc)
+        else:
+            acc = jax.lax.cond(
+                n_over == 0,
+                lambda a: a,
+                lambda a: jax.lax.cond(
+                    n_over <= T, compact_residual, global_residual, a
+                ),
+                acc,
+            )
         acc = tuple(a.reshape(a.shape[:-1] + (Kc, L)) for a in acc)
 
         # fold virtual buckets back to logical ids. Logical id l owns the
@@ -577,6 +592,15 @@ def accumulate_buckets_padded(
         return window_block(ids_all, signs_all)
 
     Kc = -(-K // chunks)
+    # POWER-OF-TWO lane widths (Kc * L with both factors pow2) hit a
+    # pathological XLA:TPU path in the chunked scan — measured 3-4x at
+    # 2^18/2^20 (Kc=4: 1066 ms, Kc=5: 308 ms, Kc=3: 365 ms; the r5
+    # regression from r4's 2^20 was exactly a Kc 3 -> 4 shift). Bump Kc to
+    # the next non-power-of-two; the slot-buffer budget is a soft target
+    # and the extra padding windows are all-sentinel (near-zero work).
+    if Kc & (Kc - 1) == 0 and Kc < K:
+        Kc += 1
+    chunks = -(-K // Kc)
     pad_k = chunks * Kc - K
     if pad_k:
         # padding windows are all-sentinel: zero rounds, identity sums

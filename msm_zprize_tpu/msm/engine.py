@@ -417,20 +417,34 @@ def accumulate_buckets_padded(
             vma,
         )
 
-        # round 1 always runs at the full M slots. M now budgets only
-        # mean + 2*sqrt(mean) (slot_count), so ~2% of buckets overflow —
-        # handled by a COMPACTED residual: top_k picks the T highest-
-        # occupancy virtual buckets and further rounds gather only
+        # The MAIN rounds cover ranks [0, M_cov). M budgets only
+        # mean + 2*sqrt(mean) (slot_count); when M*Kc*L exceeds the slot
+        # budget, the main round streams the SLOT axis in sub-rounds of m1
+        # slots — same total gather indices and tree adds, one extra
+        # full-width accumulate per sub-round, and the live gather/tree
+        # buffers shrink by the round count (2^21's 13.8M-slot chunk was
+        # 1.8 GB over HBM as a single round). Remaining overflow (~2% of
+        # buckets) is handled by a COMPACTED residual: top_k picks the T
+        # highest-occupancy virtual buckets and further rounds gather only
         # (MR, T) slots (~1k indices, vs M/4 * Kc * L ~ 0.5M for the old
         # global residual). The global path remains as the fallback for
         # adversarial inputs (e.g. duplicate scalars) where more than T
         # buckets overflow at once.
-        acc = one_round(acc0, jnp.int32(0), M)
+        import os as _os2
+
+        budget = int(_os2.environ.get("MSM_TPU_MAX_SLOTS", str(8 << 20)))
+        n_rounds = max(1, -(-(M * Kc * L) // budget))
+        m1 = -(-M // n_rounds)
+        m1 += m1 & 1  # fused level-1 kernel splits slots into equal halves
+        M_cov = n_rounds * m1  # ranks covered by the main rounds (>= M)
+        acc = acc0
+        for r in range(n_rounds):
+            acc = one_round(acc, jnp.int32(r * m1), m1)
 
         # per-VIRTUAL-bucket occupancy: virtual bucket v=(id, r) holds
         # ranks r, r+S, ... < cnt  =>  occ = ceil((cnt - r) / S)
         occ = jnp.maximum((v_cnt - v_r + S - 1) // S, 0)  # (Kc, L)
-        n_over = jnp.sum(occ > M)
+        n_over = jnp.sum(occ > M_cov)
         # T must cover a WHOLE over-occupied top window (a window whose
         # digit range is just over L/2 gets S=1 from the spread and its
         # every bucket runs ~range/L above the global mean — e.g. Edwards
@@ -490,7 +504,7 @@ def accumulate_buckets_padded(
                 return one_round_t(a, p), p + MR
 
             accT, _ = jax.lax.while_loop(
-                condt, bodyt, (accT, pvary_like(jnp.int32(M), vma))
+                condt, bodyt, (accT, pvary_like(jnp.int32(M_cov), vma))
             )
             # ONE full-width combine: scatter the T partial sums into an
             # identity-valued delta (non-overflowing top entries carry the
@@ -523,7 +537,7 @@ def accumulate_buckets_padded(
                 return one_round(a, p, M2), p + M2
 
             acc2, _ = jax.lax.while_loop(
-                cond, body, (acc, pvary_like(jnp.int32(M), vma))
+                cond, body, (acc, pvary_like(jnp.int32(M_cov), vma))
             )
             return acc2
 

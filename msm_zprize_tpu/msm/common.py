@@ -40,7 +40,9 @@ def window_size(curve_kind: str, log_n: int) -> int:
         # at 2^18/2^20; superseded.
         table = {8: 6, 10: 8, 12: 10, 14: 11, 16: 12, 18: 13, 20: 13, 22: 14}
     else:
-        table = {8: 6, 10: 7, 12: 9, 14: 10, 16: 11, 18: 12, 20: 13, 22: 14}
+        # edwards/basic track, re-measured r5 (compact-residual engine,
+        # T=2048): 2^20 c=12 1842 ms beats c=13 1913 and c=14 2349
+        table = {8: 6, 10: 7, 12: 9, 14: 10, 16: 11, 18: 12, 20: 12, 22: 13}
     if log_n <= 8:
         # floor of 6: tiny c explodes the window count (trace size) for no
         # benefit — buckets are cheap when mostly empty
